@@ -1,0 +1,167 @@
+"""Selective-scan parity suite.
+
+Modeled on the reference kernel test
+(`/root/reference/Mamba/kernels/selective_scan/test_selective_scan.py`):
+candidate implementations are compared against the sequential reference over
+a parameter grid (seqlen x dtype x D-skip x delta-bias x softplus x groups),
+asserting forward outputs, last state, and all gradients within a
+dtype-scaled tolerance ladder (fp32 rtol 6e-4 / atol 2e-3; bf16 3e-2/5e-2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vmambair_tpu.ops.selective_scan import (
+    selective_scan_seq,
+    selective_scan_xla,
+)
+from vmambair_tpu.ops.pallas_scan import selective_scan
+
+
+TOL = {
+    jnp.float32.dtype: dict(rtol=6e-4, atol=2e-3),
+    jnp.bfloat16.dtype: dict(rtol=3e-2, atol=5e-2),
+}
+
+
+def make_inputs(key, batch, L, dim, N, G, dtype, with_D, with_bias):
+    ks = jax.random.split(key, 6)
+    u = jax.random.normal(ks[0], (batch, L, dim), dtype)
+    # positive uniform delta, like the reference test (`test_selective_scan.py:
+    # 0.5*torch.rand`): keeps exp(delta*A) <= 1 so the scan is stable
+    delta = 0.5 * jax.random.uniform(ks[1], (batch, L, dim), dtype)
+    A = -0.5 - jnp.exp(
+        jax.random.normal(ks[2], (dim, N), jnp.float32) * 0.5
+    )
+    B = jax.random.normal(ks[3], (batch, L, G, N), dtype)
+    C = jax.random.normal(ks[4], (batch, L, G, N), dtype)
+    D = jax.random.normal(ks[5], (dim,), jnp.float32) if with_D else None
+    bias = (
+        0.1 * jax.random.normal(ks[5], (dim,), jnp.float32)
+        if with_bias
+        else None
+    )
+    return u, delta, A, B, C, D, bias
+
+
+def check_close(a, b, dtype, what, scale=1.0):
+    tol = TOL[jnp.dtype(dtype)]
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32),
+        np.asarray(b, np.float32),
+        rtol=tol["rtol"] * scale,
+        atol=tol["atol"] * scale,
+        err_msg=what,
+    )
+
+
+IMPLS = {
+    "xla": selective_scan_xla,
+    "pallas_interpret": lambda *a, **kw: selective_scan(
+        *a, **kw, impl="pallas", interpret=True
+    ),
+}
+
+
+@pytest.mark.parametrize("L", [32, 64, 130, 256])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("with_D", [True, False])
+@pytest.mark.parametrize("with_bias,softplus", [(True, True), (False, False)])
+@pytest.mark.parametrize("G", [1, 2])
+def test_xla_forward_parity(L, dtype, with_D, with_bias, softplus, G):
+    dtype = jnp.dtype(dtype)
+    key = jax.random.PRNGKey(hash((L, str(dtype), with_D, with_bias, G)) % 2**31)
+    batch, dim, N = 2, 8, 4
+    u, delta, A, B, C, D, bias = make_inputs(
+        key, batch, L, dim, N, G, dtype, with_D, with_bias
+    )
+    y_ref, h_ref = selective_scan_seq(
+        u, delta, A, B, C, D, bias, softplus, return_last_state=True
+    )
+    y, h = selective_scan_xla(
+        u, delta, A, B, C, D, bias, softplus, return_last_state=True,
+        chunk_size=32,
+    )
+    check_close(y, y_ref, dtype, "forward out")
+    check_close(h, h_ref, dtype, "last state")
+
+
+@pytest.mark.parametrize("impl", ["xla"])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_gradient_parity(impl, dtype):
+    dtype = jnp.dtype(dtype)
+    key = jax.random.PRNGKey(0)
+    batch, L, dim, N, G = 2, 64, 8, 4, 2
+    u, delta, A, B, C, D, bias = make_inputs(
+        key, batch, L, dim, N, G, dtype, True, True
+    )
+    fn = IMPLS[impl]
+
+    def loss_ref(*args):
+        y = selective_scan_seq(*args, delta_softplus=True)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    def loss_new(*args):
+        y = fn(*args, delta_softplus=True)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    args = (u, delta, A, B, C, D, bias)
+    grads_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    grads_new = jax.grad(loss_new, argnums=tuple(range(7)))(*args)
+    names = ["du", "ddelta", "dA", "dB", "dC", "dD", "dbias"]
+    # gradient tolerances are looser, as in the reference test (x2-x10)
+    for g_new, g_ref, name in zip(grads_new, grads_ref, names):
+        check_close(g_new, g_ref, dtype, name, scale=5.0)
+
+
+@pytest.mark.parametrize("L", [32, 96])
+@pytest.mark.parametrize("dtype", ["float32"])
+def test_pallas_interpret_forward_parity(L, dtype):
+    """Pallas kernel (interpret mode, CPU) vs sequential reference."""
+    dtype = jnp.dtype(dtype)
+    key = jax.random.PRNGKey(42)
+    batch, dim, N, G = 2, 8, 4, 1
+    u, delta, A, B, C, D, bias = make_inputs(
+        key, batch, L, dim, N, G, dtype, True, True
+    )
+    y_ref = selective_scan_seq(u, delta, A, B, C, D, bias, True)
+    y = selective_scan(
+        u, delta, A, B, C, D, bias, True, impl="pallas", interpret=True
+    )
+    check_close(y, y_ref, dtype, "pallas forward")
+
+
+def test_pallas_gradients_match_seq():
+    key = jax.random.PRNGKey(7)
+    batch, L, dim, N, G = 2, 64, 8, 4, 1
+    u, delta, A, B, C, D, bias = make_inputs(
+        key, batch, L, dim, N, G, jnp.float32, True, True
+    )
+
+    def loss(fn, *args):
+        y = fn(*args, delta_softplus=True)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    args = (u, delta, A, B, C, D, bias)
+    g_ref = jax.grad(lambda *a: loss(selective_scan_seq, *a), argnums=(0, 1, 2))(*args)
+    g_pal = jax.grad(
+        lambda *a: loss(
+            lambda *aa, **kw: selective_scan(*aa, **kw, impl="pallas", interpret=True),
+            *a,
+        ),
+        argnums=(0, 1, 2),
+    )(*args)
+    for a, b, n in zip(g_pal, g_ref, ["du", "ddelta", "dA"]):
+        check_close(a, b, jnp.float32, n, scale=5.0)
+
+
+def test_empty_D_and_no_bias():
+    key = jax.random.PRNGKey(3)
+    u, delta, A, B, C, _, _ = make_inputs(
+        key, 1, 32, 4, 2, 1, jnp.float32, False, False
+    )
+    y_ref = selective_scan_seq(u, delta, A, B, C)
+    y = selective_scan_xla(u, delta, A, B, C, chunk_size=16)
+    check_close(y, y_ref, jnp.float32, "no-D no-bias")
