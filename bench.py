@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Headline benchmark: x4 SR tiled-inference throughput (MP/s/chip).
+
+Protocol (BASELINE.md): MambaSISR6 at its shipped full size
+(`SRGAN/options/MambaSISR15_x4.yml:55-62`), static-shape tiled inference
+(the reference's chop/tile path, `MambaSISR2_model.py:99-195`), bf16
+activations / fp32 weights, batch of tiles filling one chip. Metric =
+OUTPUT megapixels per second per chip.
+
+`vs_baseline` divides by an A100 reference estimate (the repo publishes no
+throughput numbers — BASELINE.json `published: {}`): 10 output-MP/s for the
+PyTorch+CUDA-scan reference on A100 with the same tiling, derived from the
+model's ~8 MFLOPs/input-pixel and eager-mode launch overhead of the 6+
+kernel-launch scan chain. Held FIXED across rounds so the number tracks our
+progress; >=2.0 means the >=2x A100 target is met.
+
+Timing: iterations are CHAINED (each consumes the previous output) and the
+final value is fetched to host, so the axon tunnel cannot cache or overlap
+identical requests.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_MPS = 10.0  # estimated A100 reference, output MP/s (see docstring)
+
+TILE = 128      # input tile (output 512x512)
+BATCH = 8       # tiles per step
+SCALE = 4
+WARMUP = 2
+ITERS = 8
+
+
+def main():
+    from vmambair_tpu.models import build_network
+
+    net = build_network(dict(type="MambaSISR6"))
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (BATCH, TILE, TILE, 3), jnp.float32)
+    params = jax.jit(net.init)(key, x[:1])
+
+    @jax.jit
+    def step(params, x):
+        y = net.apply(params, x)
+        # feed a shrunken output back as the next input: chains iterations
+        nxt = y[:, : TILE, : TILE, :]
+        return y, nxt
+
+    # warmup/compile
+    xin = x
+    for _ in range(WARMUP):
+        y, xin = step(params, xin)
+    jax.block_until_ready(y)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        y, xin = step(params, xin)
+    # host fetch of a data-dependent scalar defeats any response caching
+    checksum = float(jnp.sum(y[0, :2, :2, 0]))
+    jax.block_until_ready(y)
+    dt = time.perf_counter() - t0
+
+    out_mp = BATCH * (TILE * SCALE) ** 2 / 1e6
+    mps = out_mp * ITERS / dt
+    print(json.dumps({
+        "metric": "x4_sr_tiled_inference_throughput",
+        "value": round(mps, 3),
+        "unit": "output_megapixels_per_sec_per_chip",
+        "vs_baseline": round(mps / BASELINE_MPS, 3),
+        "detail": {
+            "tile_in": TILE, "batch": BATCH, "iters": ITERS,
+            "seconds": round(dt, 3), "checksum": checksum,
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Model family tests: init + forward shapes on tiny configs (CPU).
+
+Mirrors the reference's test style (`RealSR/tests/test_discriminator_arch.py`,
+`test_model.py`: tiny nets, `dist: False`, CPU).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vmambair_tpu.models import (
+    OSSNet,
+    UNetDiscriminatorSN,
+    SRVGGNetCompact,
+    build_network,
+)
+
+TINY = dict(
+    dim=8,
+    num_blocks=(1, 1, 1, 1),
+    num_refinement_blocks=1,
+    scan_impl="xla",
+)
+
+
+def test_ossnet_sr_forward():
+    model = OSSNet(scale=4, tail="pixelshuffle", **TINY)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    y = jax.jit(model.apply)(params, x)
+    assert y.shape == (1, 64, 64, 3)
+    assert jnp.isfinite(y).all()
+
+
+def test_ossnet_derain_forward():
+    model = OSSNet(scale=1, tail="conv_residual", channel_attn="add", **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    y = jax.jit(model.apply)(params, x)
+    assert y.shape == (2, 16, 16, 3)
+    assert jnp.isfinite(y).all()
+
+
+def test_ossnet_realsr_channel_direct():
+    model = OSSNet(scale=4, tail="pixelshuffle", channel_version="direct",
+                   **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 8, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    y = jax.jit(model.apply)(params, x)
+    assert y.shape == (1, 32, 32, 3)
+    assert jnp.isfinite(y).all()
+
+
+def test_ossnet_nonsquare_input():
+    """Cross-scan transposes H/W; non-square inputs must round-trip."""
+    model = OSSNet(scale=1, tail="conv_residual", **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 24, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    y = jax.jit(model.apply)(params, x)
+    assert y.shape == (1, 8, 24, 3)
+
+
+def test_ossnet_grad_flows():
+    model = OSSNet(scale=1, tail="conv_residual", **TINY)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 8, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.mean((model.apply(p, x) - 1.0) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # every parameter should receive some gradient signal somewhere
+    total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+    assert total > 0
+
+
+def test_build_network_presets():
+    for name in ["MambaSISR6", "MambaRealSR11", "Mamber32", "Mamber33"]:
+        net = build_network(
+            dict(type=name, dim=8, num_blocks=[1, 1, 1, 1],
+                 num_refinement_blocks=1, scan_impl="xla")
+        )
+        x = jnp.zeros((1, 8, 8, 3))
+        params = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+        y = jax.jit(net.apply)(params, x)
+        expect = 32 if name in ("MambaSISR6", "MambaRealSR11") else 8
+        assert y.shape == (1, expect, expect, 3), name
+
+
+def test_discriminator_forward():
+    model = UNetDiscriminatorSN(num_in_ch=3, num_feat=8)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    y, new_state = model.apply(
+        variables, x, update_stats=True, mutable=["batch_stats"]
+    )
+    assert y.shape == (1, 32, 32, 1)
+    assert jnp.isfinite(y).all()
+
+
+def test_srvgg_forward():
+    model = SRVGGNetCompact(num_feat=8, num_conv=2, upscale=4)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 8, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    y = jax.jit(model.apply)(params, x)
+    assert y.shape == (1, 32, 32, 3)
+
+
+def test_param_count_mamba_sisr6():
+    """Full-size MambaSISR6 parameter count sanity: the reference reports
+    ~a few M params ('much fewer parameters'); ensure we are in that class
+    and the structure materializes."""
+    net = build_network(dict(type="MambaSISR6", scan_impl="xla"))
+    x = jnp.zeros((1, 8, 8, 3))
+    params = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x))
+    n = sum(
+        int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params)
+    )
+    assert 1e6 < n < 50e6, n

@@ -116,13 +116,14 @@ def test_gradient_parity(impl, dtype):
         check_close(g_new, g_ref, dtype, name, scale=5.0)
 
 
-@pytest.mark.parametrize("L", [32, 96])
+@pytest.mark.parametrize("L,G", [(32, 1), (64, 2)])
 @pytest.mark.parametrize("dtype", ["float32"])
-def test_pallas_interpret_forward_parity(L, dtype):
-    """Pallas kernel (interpret mode, CPU) vs sequential reference."""
+def test_pallas_interpret_forward_parity(L, G, dtype):
+    """Pallas kernel (interpret mode, CPU) vs sequential reference,
+    including grouped B/C (K directions folded into channels)."""
     dtype = jnp.dtype(dtype)
     key = jax.random.PRNGKey(42)
-    batch, dim, N, G = 2, 8, 4, 1
+    batch, dim, N = 2, 16, 4
     u, delta, A, B, C, D, bias = make_inputs(
         key, batch, L, dim, N, G, dtype, True, True
     )
@@ -135,7 +136,7 @@ def test_pallas_interpret_forward_parity(L, dtype):
 
 def test_pallas_gradients_match_seq():
     key = jax.random.PRNGKey(7)
-    batch, L, dim, N, G = 2, 64, 8, 4, 1
+    batch, L, dim, N, G = 1, 32, 8, 4, 1
     u, delta, A, B, C, D, bias = make_inputs(
         key, batch, L, dim, N, G, jnp.float32, True, True
     )

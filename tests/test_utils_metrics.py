@@ -1,0 +1,151 @@
+"""Tests for MATLAB-equivalent utils, metrics, schedulers, options."""
+
+import numpy as np
+import pytest
+
+from vmambair_tpu.utils.matlab import (
+    bgr2ycbcr, rgb2ycbcr, ycbcr2rgb, imresize,
+)
+from vmambair_tpu.metrics.psnr_ssim import calculate_psnr, calculate_ssim
+from vmambair_tpu.train.schedulers import (
+    build_scheduler,
+    cosine_annealing_restart_cyclic_lr,
+    multi_step_restart_lr,
+    with_warmup,
+)
+from vmambair_tpu.utils.options import finalize_options
+
+
+def test_rgb2ycbcr_known_values():
+    # pure white -> Y=235/255 (studio swing)
+    white = np.ones((2, 2, 3), np.float32)
+    y = rgb2ycbcr(white, y_only=True)
+    np.testing.assert_allclose(y, 235.0 / 255.0, atol=1e-4)
+    black = np.zeros((2, 2, 3), np.float32)
+    np.testing.assert_allclose(rgb2ycbcr(black, y_only=True), 16.0 / 255.0,
+                               atol=1e-4)
+
+
+def test_ycbcr_roundtrip():
+    rng = np.random.RandomState(0)
+    img = rng.rand(8, 8, 3).astype(np.float32)
+    rec = ycbcr2rgb(rgb2ycbcr(img))
+    np.testing.assert_allclose(rec, img, atol=1e-3)
+
+
+def test_bgr2ycbcr_channel_order():
+    img = np.zeros((2, 2, 3), np.float32)
+    img[..., 2] = 1.0  # red in BGR
+    y_bgr = bgr2ycbcr(img, y_only=True)
+    rgb = np.zeros((2, 2, 3), np.float32)
+    rgb[..., 0] = 1.0
+    y_rgb = rgb2ycbcr(rgb, y_only=True)
+    np.testing.assert_allclose(y_bgr, y_rgb, atol=1e-6)
+
+
+def test_imresize_identity():
+    rng = np.random.RandomState(1)
+    img = rng.rand(16, 16, 3).astype(np.float32)
+    out = imresize(img, 1.0)
+    np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+def test_imresize_shapes_and_range():
+    rng = np.random.RandomState(2)
+    img = (rng.rand(32, 48, 3) * 255).astype(np.uint8)
+    down = imresize(img, 0.25)
+    assert down.shape == (8, 12, 3) and down.dtype == np.uint8
+    up = imresize(img, 2.0)
+    assert up.shape == (64, 96, 3)
+
+
+def test_imresize_vs_pil_downscale():
+    """MATLAB bicubic+antialias closely matches PIL BICUBIC (same kernel
+    family) — loose agreement check."""
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    ours = imresize(img, 0.5).astype(np.float64)
+    pil = np.asarray(
+        Image.fromarray(img).resize((32, 32), Image.BICUBIC)
+    ).astype(np.float64)
+    assert np.abs(ours - pil).mean() < 2.0  # mean abs diff under 2/255
+
+
+def test_psnr_identical_and_known():
+    img = (np.random.RandomState(0).rand(32, 32, 3) * 255).astype(np.uint8)
+    assert calculate_psnr(img, img) == float("inf")
+    noisy = img.astype(np.float64) + 10.0
+    p = calculate_psnr(img, noisy)
+    np.testing.assert_allclose(p, 20 * np.log10(255.0 / 10.0), atol=1e-6)
+
+
+def test_psnr_y_channel_and_crop():
+    rng = np.random.RandomState(1)
+    a = (rng.rand(36, 36, 3) * 255).astype(np.uint8)
+    b = (rng.rand(36, 36, 3) * 255).astype(np.uint8)
+    p1 = calculate_psnr(a, b, crop_border=4, test_y_only=True)
+    assert 0 < p1 < 60
+
+
+def test_ssim_bounds():
+    rng = np.random.RandomState(2)
+    img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    assert calculate_ssim(img, img) == pytest.approx(1.0, abs=1e-9)
+    other = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    s = calculate_ssim(img, other)
+    assert -1 <= s < 0.5
+
+
+def test_multi_step_restart_lr():
+    lr = multi_step_restart_lr(1.0, [10, 20], gamma=0.5)
+    assert lr(0) == 1.0
+    assert lr(10) == 0.5
+    assert lr(20) == 0.25
+    assert lr(25) == 0.25
+
+
+def test_cosine_cyclic_matches_reference_shape():
+    # deraining recipe: periods [144k, 288k], eta [3e-4 -> 1e-6 floor]
+    lr = cosine_annealing_restart_cyclic_lr(
+        3e-4, [144000, 288000], (1, 1), (0.0003, 0.000001)
+    )
+    assert lr(0) == pytest.approx(3e-4)
+    # end of first period: eta_min of period 0... cos(pi) -> eta_min
+    assert lr(144000) == pytest.approx(0.0003)  # restarts at weight 1
+    assert lr(432000) == pytest.approx(1e-6, rel=1e-3)
+
+
+def test_warmup():
+    lr = with_warmup(lambda s: 1.0, warmup_iter=10)
+    assert lr(0) == 0.0
+    assert lr(5) == pytest.approx(0.5)
+    assert lr(10) == 1.0
+
+
+def test_build_scheduler_from_yaml_block():
+    lr = build_scheduler(
+        dict(type="CosineAnnealingRestartCyclicLR",
+             periods=[92000, 208000], restart_weights=[1, 1],
+             eta_mins=[0.0003, 0.000001]),
+        base_lr=3e-4,
+    )
+    assert lr(0) == pytest.approx(3e-4)
+
+
+def test_finalize_options_dirtree(tmp_path):
+    opt = dict(
+        name="test_exp",
+        model_type="SRModel",
+        scale=4,
+        datasets=dict(train=dict(name="d"), val=dict(name="v")),
+        train=dict(total_iter=100),
+        val=dict(),
+        logger=dict(),
+    )
+    out = finalize_options(opt, str(tmp_path), is_train=True)
+    assert out["datasets"]["train"]["phase"] == "train"
+    assert out["datasets"]["val"]["scale"] == 4
+    assert out["path"]["models"].endswith("models")
+    assert "experiments" in out["path"]["experiments_root"]

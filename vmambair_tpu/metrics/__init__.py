@@ -1,0 +1,24 @@
+"""In-train metrics, resolved by YAML `val.metrics.<name>.type` strings
+(reference `Deraining/basicsr/metrics/__init__.py`,
+`Deraining_mamber33.yml:113-117`)."""
+
+from __future__ import annotations
+
+from ..utils.registry import METRIC_REGISTRY
+from .psnr_ssim import calculate_psnr, calculate_ssim
+
+
+def calculate_metric(opt: dict, *args):
+    """`metrics.<name>: {type: calculate_psnr, crop_border: 4, ...}` ->
+    registry call with the remaining keys as kwargs."""
+    opt = dict(opt)
+    metric_type = opt.pop("type")
+    return METRIC_REGISTRY.get(metric_type)(*args, **opt)
+
+
+__all__ = [
+    "calculate_metric",
+    "calculate_psnr",
+    "calculate_ssim",
+    "METRIC_REGISTRY",
+]

@@ -1,0 +1,106 @@
+"""DISTS (Deep Image Structure and Texture Similarity) — JAX implementation.
+
+Rebuilds the reference's DISTS metric
+(`/root/reference/SRGAN/Metric/dists.py:29-155` +
+`DISTS_pytorch/DISTS_pt.py`): VGG16-style feature pyramid (input + 5 conv
+stages), per-stage structure (covariance) and texture (mean) similarity,
+combined with learned alpha/beta weights.
+
+Supply `weights_path` (.npz with `conv*/kernel|bias`, `alpha`, `beta` —
+converted from the reference's `weights.pt`) for published-comparable
+numbers; otherwise uniform alpha/beta over a seeded backbone give a
+deterministic relative metric.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses.perceptual import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    _init_vgg_params,
+    vgg19_features,
+)
+from ..utils.registry import METRIC_REGISTRY
+
+_STAGES = ["conv1_2", "conv2_2", "conv3_4", "conv4_4", "conv5_4"]
+_C1 = 1e-6
+_C2 = 1e-6
+
+
+class DISTS:
+    def __init__(self, weights_path: Optional[str] = None, seed: int = 0):
+        self.params, self.is_pretrained = _init_vgg_params(
+            weights_path, seed
+        )
+        self.alpha = None
+        self.beta = None
+        if weights_path:
+            data = np.load(weights_path)
+            if "alpha" in data:
+                self.alpha = jnp.asarray(data["alpha"])
+                self.beta = jnp.asarray(data["beta"])
+
+    def __call__(self, img1, img2) -> float:
+        def prep(im):
+            im = jnp.asarray(im, jnp.float32)
+            if im.ndim == 3:
+                im = im[None]
+            if im.max() > 1.5:
+                im = im / 255.0
+            return (im - IMAGENET_MEAN) / IMAGENET_STD
+
+        x, y = prep(img1), prep(img2)
+        fx = [x] + [
+            vgg19_features(x, self.params, [s], False, False)[s]
+            for s in _STAGES
+        ]
+        fy = [y] + [
+            vgg19_features(y, self.params, [s], False, False)[s]
+            for s in _STAGES
+        ]
+        dist1, dist2 = [], []
+        for a, b in zip(fx, fy):
+            mu_a = jnp.mean(a, axis=(1, 2), keepdims=True)
+            mu_b = jnp.mean(b, axis=(1, 2), keepdims=True)
+            var_a = jnp.mean((a - mu_a) ** 2, axis=(1, 2), keepdims=True)
+            var_b = jnp.mean((b - mu_b) ** 2, axis=(1, 2), keepdims=True)
+            cov = jnp.mean(
+                (a - mu_a) * (b - mu_b), axis=(1, 2), keepdims=True
+            )
+            s_tex = (2 * mu_a * mu_b + _C1) / (mu_a**2 + mu_b**2 + _C1)
+            s_struct = (2 * cov + _C2) / (var_a + var_b + _C2)
+            dist1.append(s_tex[:, 0, 0, :])    # (1, C)
+            dist2.append(s_struct[:, 0, 0, :])
+        if self.alpha is not None:
+            w = jnp.concatenate([self.alpha, self.beta], axis=-1)
+            w = w / jnp.sum(w)
+            ka = [a.shape[-1] for a in dist1]
+            alpha = jnp.split(w[..., : sum(ka)], np.cumsum(ka)[:-1], -1)
+            beta = jnp.split(w[..., sum(ka):], np.cumsum(ka)[:-1], -1)
+            score = sum(
+                float(jnp.sum(al * d1) + jnp.sum(be * d2))
+                for al, be, d1, d2 in zip(alpha, beta, dist1, dist2)
+            )
+        else:
+            n = sum(d.shape[-1] for d in dist1) * 2
+            score = sum(
+                float(jnp.sum(d1) + jnp.sum(d2))
+                for d1, d2 in zip(dist1, dist2)
+            ) / n
+        return float(1.0 - score)
+
+
+_default_dists: Optional[DISTS] = None
+
+
+@METRIC_REGISTRY.register(name="calculate_dists")
+def calculate_dists(img1, img2, weights_path=None, **kwargs) -> float:
+    global _default_dists
+    if _default_dists is None or weights_path:
+        _default_dists = DISTS(weights_path)
+    return _default_dists(img1, img2)

@@ -1,0 +1,290 @@
+"""Omni Selective Scan (OSS) module — the VmambaIR attention replacement.
+
+Rebuilds `SS2D_1` (`/root/reference/SRGAN/VmambaIR/archs/MambaSISR6_arch.py:
+222-498`, `RealSR/.../MambaRealSR11_arch.py:540-833`, `Deraining/.../
+mamber32_arch.py:219-496`) in Flax/NHWC:
+
+    forward: 1x1 in_conv -> chunk (x, z); z <- SiLU(z);
+             x <- SiLU(dwconv3x3(x));
+             y1 <- 4-direction spatial selective scan of x;
+             y2 <- y1 * z (SiLU gate);
+             c  <- 2-direction channel selective scan of pooled y2;
+             y2 <- y2 * c + y2   (or y2 + c for the additive variant);
+             out <- 1x1 out_conv.
+
+Variant knobs (one module covers all three reference archs):
+  channel_version: "conv4" (SISR6/Mamber32: conv_cin lifts pooled vector to
+    4 features, dtc_rank=6, dc_state=16, randn channel-SSM init),
+    "conv2" (Mamber33: same with 2 features), "direct" (RealSR11: scans the
+    pooled (B, C, 1) vector directly with S4D init and the spatial
+    dt_rank/d_state).
+  channel_attn: "mul" (y2*c+y2) | "add" (y2+c)   [Mamber32 uses "add"].
+
+The K=4 spatial directions are folded into the scan's channel axis with one
+B/C group per direction, exactly like the reference flattens
+`xs.view(B, -1, L)` with `A_logs (K*D, N)` (`MambaSISR6_arch.py:413-424`) —
+this feeds the grouped Pallas kernel with full-width channel tiles.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.cross_scan import cross_scan_2d, cross_merge_2d
+from ..ops.pallas_scan import selective_scan
+from .layers import Conv2d, LayerNorm2d, torch_kernel_init, torch_bias_init
+
+
+def _dt_projs_weight_init(rank):
+    std = rank**-0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -std, std)
+
+    return init
+
+
+def _dt_projs_bias_init(dt_min=0.001, dt_max=0.1, floor=1e-4):
+    def init(key, shape, dtype=jnp.float32):
+        dt = jnp.exp(
+            jax.random.uniform(key, shape, dtype)
+            * (math.log(dt_max) - math.log(dt_min))
+            + math.log(dt_min)
+        )
+        dt = jnp.clip(dt, floor, None)
+        # inverse softplus (`MambaSISR6_arch.py:355-358`)
+        return dt + jnp.log(-jnp.expm1(-dt))
+
+    return init
+
+
+def _a_log_init(copies, d_inner, d_state):
+    def init(key, shape, dtype=jnp.float32):
+        # S4D-real: A_n = n for n in 1..N (`MambaSISR6_arch.py:363-378`)
+        a = jnp.log(jnp.arange(1, d_state + 1, dtype=dtype))
+        out = jnp.tile(a[None, :], (copies * d_inner, 1))
+        assert out.shape == shape
+        return out
+
+    return init
+
+
+def _multi_dir_scan(xs, x_proj_weight, dt_projs_weight, dt_projs_bias,
+                    A_logs, Ds, nstate, dt_rank, scan_impl):
+    """Shared driver for the K-direction scans.
+
+    xs: (B, K, L, D) per-direction sequences. Returns (B, K, L, D) outputs.
+    Mirrors `cross_selective_scan` (`MambaRealSR11_arch.py:371-434`): project
+    each direction to (delta_rank, B, C), lift delta through dt_projs, run
+    one grouped scan over the K*D folded channel axis, in fp32.
+    """
+    b, k, l, d = xs.shape
+    x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_weight)
+    dts, Bs, Cs = jnp.split(
+        x_dbl, [dt_rank, dt_rank + nstate], axis=-1
+    )
+    dts = jnp.einsum("bklr,kdr->bkld", dts, dt_projs_weight)
+
+    u = jnp.moveaxis(xs, 1, 2).reshape(b, l, k * d)
+    delta = jnp.moveaxis(dts, 1, 2).reshape(b, l, k * d)
+    Bmat = jnp.moveaxis(Bs, 1, 2)  # (B, L, K, N)
+    Cmat = jnp.moveaxis(Cs, 1, 2)
+    A = -jnp.exp(A_logs.astype(jnp.float32))
+
+    y = selective_scan(
+        u, delta, A, Bmat, Cmat,
+        D=Ds.astype(jnp.float32),
+        delta_bias=dt_projs_bias.reshape(-1).astype(jnp.float32),
+        delta_softplus=True,
+        impl=scan_impl,
+    )
+    return jnp.moveaxis(y.reshape(b, l, k, d), 2, 1)  # (B, K, L, D)
+
+
+class SpatialScan(nn.Module):
+    """4-direction spatial selective scan + merge + LayerNorm
+    (`forward_corev1`, `MambaSISR6_arch.py:395-436`)."""
+
+    d_inner: int
+    d_state: int
+    dt_rank: int
+    scan_impl: str = "auto"
+    K: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, d = x.shape
+        K, N, R = self.K, self.d_state, self.dt_rank
+        x_proj_weight = self.param(
+            "x_proj_weight", torch_kernel_init, (K, R + 2 * N, d)
+        )
+        dt_projs_weight = self.param(
+            "dt_projs_weight", _dt_projs_weight_init(R), (K, d, R)
+        )
+        dt_projs_bias = self.param(
+            "dt_projs_bias", _dt_projs_bias_init(), (K, d)
+        )
+        A_logs = self.param("A_logs", _a_log_init(K, d, N), (K * d, N))
+        Ds = self.param("Ds", nn.initializers.ones, (K * d,))
+
+        xs = cross_scan_2d(x)  # (B, 4, L, D)
+        ys = _multi_dir_scan(
+            xs, x_proj_weight, dt_projs_weight, dt_projs_bias, A_logs, Ds,
+            N, R, self.scan_impl,
+        )
+        y = cross_merge_2d(ys.astype(jnp.float32), h, w)
+        y = y.reshape(b, h, w, d)
+        y = LayerNorm2d(d, use_bias=True, name="out_norm")(y)
+        return y.astype(x.dtype)
+
+
+class ChannelScan(nn.Module):
+    """2-direction channel selective scan of the pooled feature vector
+    (`cforward_corev1`, `MambaSISR6_arch.py:438-483`; RealSR "direct" form
+    `MambaRealSR11_arch.py:438-541,806-817`). Returns a (B, 1, 1, C) gate."""
+
+    d_inner: int  # C of the gated tensor == channel-scan sequence length
+    version: str = "conv4"  # conv4 | conv2 | direct
+    # used only for version == "direct":
+    d_state: int = 16
+    dt_rank: int = 6
+    scan_impl: str = "xla"  # channel scans are tiny; XLA handles them best
+    K: int = 2
+
+    @nn.compact
+    def __call__(self, y2):
+        b, h, w, c = y2.shape
+        K = self.K
+        if self.version == "direct":
+            dc, Rc, Nc = 1, self.dt_rank, self.d_state
+        elif self.version == "conv2":
+            dc, Rc, Nc = 2, 6, 16
+        else:
+            dc, Rc, Nc = 4, 6, 16
+
+        xc = jnp.mean(y2.astype(jnp.float32), axis=(1, 2))  # (B, C) pool
+
+        if self.version == "direct":
+            seq = xc[:, :, None]  # (B, L=C, 1)
+        else:
+            # conv_cin: 1x1 conv lifting the (B,1,C,1) map to dc features
+            # (`MambaSISR6_arch.py:263-267`) == outer product per channel
+            w_cin = self.param("conv_cin_weight", torch_kernel_init, (dc, 1))
+            b_cin = self.param("conv_cin_bias", torch_bias_init(1), (dc,))
+            seq = xc[:, :, None] * w_cin[:, 0][None, None, :] + b_cin
+
+        xc_proj_weight = self.param(
+            "xc_proj_weight", torch_kernel_init, (K, Rc + 2 * Nc, dc)
+        )
+        if self.version == "direct":
+            dtc_w_init = _dt_projs_weight_init(Rc)
+            dtc_b_init = _dt_projs_bias_init()
+            ac_init = _a_log_init(K, dc, Nc)
+        else:
+            # the conv variants init the channel SSM params with randn
+            # (`MambaSISR6_arch.py:329-332` in mamber32; same in SISR6)
+            dtc_w_init = nn.initializers.normal(1.0)
+            dtc_b_init = nn.initializers.normal(1.0)
+            ac_init = nn.initializers.normal(1.0)
+        dtc_projs_weight = self.param(
+            "dtc_projs_weight", dtc_w_init, (K, dc, Rc)
+        )
+        dtc_projs_bias = self.param("dtc_projs_bias", dtc_b_init, (K, dc))
+        Ac_logs = self.param("Ac_logs", ac_init, (K * dc, Nc))
+        Dsc = self.param("Dsc", nn.initializers.ones, (K * dc,))
+
+        xsc = jnp.stack([seq, jnp.flip(seq, axis=1)], axis=1)  # (B,2,L,dc)
+        ys = _multi_dir_scan(
+            xsc, xc_proj_weight, dtc_projs_weight, dtc_projs_bias, Ac_logs,
+            Dsc, Nc, Rc, self.scan_impl,
+        )
+        y = ys[:, 0] + jnp.flip(ys[:, 1], axis=1)  # (B, L=C, dc)
+
+        if self.version == "direct":
+            y = y[..., 0]  # (B, C)
+        else:
+            w_cout = self.param(
+                "conv_cout_weight", torch_kernel_init, (1, dc)
+            )
+            b_cout = self.param("conv_cout_bias", torch_bias_init(dc), (1,))
+            y = jnp.einsum("bld,od->blo", y, w_cout)[..., 0] + b_cout
+
+        gate = LayerNorm2d(c, use_bias=True, name="channel_norm")(
+            y[:, None, None, :]
+        )  # normalize over the channel axis
+        return gate.astype(y2.dtype)  # (B, 1, 1, C)
+
+
+class OSS(nn.Module):
+    """The full OSS module (SS2D_1)."""
+
+    d_model: int
+    d_state: Any = "auto"
+    ssm_ratio: float = 1.0
+    ssm_rank_ratio: float = 1.0
+    dt_rank: Any = "auto"
+    d_conv: int = 3
+    conv_bias: bool = True
+    channel_version: str = "conv4"
+    channel_attn: str = "mul"
+    scan_impl: str = "auto"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        d_model = self.d_model
+        d_expand = int(self.ssm_ratio * d_model)
+        d_inner = (
+            int(min(self.ssm_rank_ratio, self.ssm_ratio) * d_model)
+            if self.ssm_rank_ratio > 0
+            else d_expand
+        )
+        d_state = (
+            math.ceil(d_model / 6) if self.d_state == "auto" else self.d_state
+        )
+        dt_rank = (
+            math.ceil(d_model / 16) if self.dt_rank == "auto" else self.dt_rank
+        )
+
+        xz = Conv2d(d_expand * 2, 1, use_bias=True, dtype=self.dtype,
+                    name="in_conv")(x)
+        xs, z = jnp.split(xz, 2, axis=-1)
+        z = nn.silu(z)
+        xs = Conv2d(d_expand, self.d_conv, groups=d_expand,
+                    use_bias=self.conv_bias, dtype=self.dtype,
+                    name="conv2d")(xs)
+        xs = nn.silu(xs)
+
+        low_rank = d_inner < d_expand
+        if low_rank:
+            xs = Conv2d(d_inner, 1, use_bias=False, dtype=self.dtype,
+                        name="in_rank")(xs)
+        y1 = SpatialScan(
+            d_inner, d_state, dt_rank, scan_impl=self.scan_impl,
+            name="spatial",
+        )(xs)
+        if low_rank:
+            y1 = nn.Dense(d_expand, use_bias=False,
+                          kernel_init=torch_kernel_init, dtype=self.dtype,
+                          name="out_rank")(y1)
+
+        y2 = y1 * z
+        c = ChannelScan(
+            d_inner,
+            version=self.channel_version,
+            d_state=d_state,
+            dt_rank=dt_rank,
+            name="channel",
+        )(y2)
+        if self.channel_attn == "mul":
+            y2 = y2 * c + y2  # `y3 = y2*c; y2 = y3+y2` (MambaSISR6:494-496)
+        else:
+            y2 = y2 + c  # mamber32 additive variant
+        out = Conv2d(d_model, 1, use_bias=True, dtype=self.dtype,
+                     name="out_conv")(y2)
+        return out

@@ -23,10 +23,15 @@ Design mapping:
   XLA implementation — same save-only-chunk-carries memory policy, compiler-
   scheduled.
 
+B/C groups (the reference calls the scan with K=4 directions folded into the
+channel axis and one B/C group per direction, `MambaSISR6_arch.py:409-424`)
+are supported via the BlockSpec index map: each channel tile reads its
+group's (N, chunk) stripe of B/C.
+
 Kernel restrictions (wrapper falls back to `selective_scan_xla` otherwise):
-single B/C group (G == 1 — all VmambaIR model call sites use one group per
-scan direction, `MambaSISR6_arch.py:409-424`), N <= MAX_UNROLL_N states
-(states are unrolled in the kernel), no last-state output.
+N <= MAX_UNROLL_N states (states are unrolled in the kernel), d_tile must
+divide the per-group channel count, no last-state output, L divisible by a
+reasonable power-of-two chunk.
 """
 
 from __future__ import annotations
@@ -54,8 +59,9 @@ def _scan_kernel(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
                  y_ref, h_ref, *, nstate, chunk, softplus):
     """One (batch, d_tile, chunk) grid step, (D, L) layout.
 
-    Block shapes: u/d/y (1, Dt, chunk); A (Dt, N); B/C (1, N, chunk);
-    Dskip/bias (Dt, 1); h scratch (Dt, N) fp32.
+    Block shapes: u/d/y (1, Dt, chunk); A (Dt, N); B/C (1, 1, N, chunk)
+    [the group stripe for this d-tile]; Dskip/bias (Dt, 1); h scratch
+    (Dt, N) fp32.
     """
     c_idx = pl.program_id(2)
 
@@ -70,8 +76,8 @@ def _scan_kernel(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
     du = d * u
     y = Dskip_ref[...].astype(jnp.float32) * u  # (Dt, chunk)
 
-    B_blk = B_ref[0].astype(jnp.float32)  # (N, chunk)
-    C_blk = C_ref[0].astype(jnp.float32)
+    B_blk = B_ref[0, 0].astype(jnp.float32)  # (N, chunk)
+    C_blk = C_ref[0, 0].astype(jnp.float32)
 
     n_steps = int(math.log2(chunk))
     assert (1 << n_steps) == chunk, "chunk must be a power of two"
@@ -98,11 +104,12 @@ def _scan_kernel(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_pallas_fwd(BT, L, dim, N, chunk, d_tile, softplus, interpret,
+def _build_pallas_fwd(BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
                       out_dtype_name):
     out_dtype = jnp.dtype(out_dtype_name)
     n_chunks = L // chunk
     n_dtiles = dim // d_tile
+    dg_tiles = (dim // G) // d_tile  # d-tiles per group
 
     grid = (BT, n_dtiles, n_chunks)
     kernel = functools.partial(
@@ -110,7 +117,7 @@ def _build_pallas_fwd(BT, L, dim, N, chunk, d_tile, softplus, interpret,
     )
     flops = 9 * BT * L * dim * N
 
-    def fwd(u, d, A, B3, C3, Dskip, bias):
+    def fwd(u, d, A, B4, C4, Dskip, bias):
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -118,8 +125,12 @@ def _build_pallas_fwd(BT, L, dim, N, chunk, d_tile, softplus, interpret,
                 pl.BlockSpec((1, d_tile, chunk), lambda b, dt, c: (b, dt, c)),
                 pl.BlockSpec((1, d_tile, chunk), lambda b, dt, c: (b, dt, c)),
                 pl.BlockSpec((d_tile, N), lambda b, dt, c: (dt, 0)),
-                pl.BlockSpec((1, N, chunk), lambda b, dt, c: (b, 0, c)),
-                pl.BlockSpec((1, N, chunk), lambda b, dt, c: (b, 0, c)),
+                pl.BlockSpec(
+                    (1, 1, N, chunk), lambda b, dt, c: (b, dt // dg_tiles, 0, c)
+                ),
+                pl.BlockSpec(
+                    (1, 1, N, chunk), lambda b, dt, c: (b, dt // dg_tiles, 0, c)
+                ),
                 pl.BlockSpec((d_tile, 1), lambda b, dt, c: (dt, 0)),
                 pl.BlockSpec((d_tile, 1), lambda b, dt, c: (dt, 0)),
             ],
@@ -130,26 +141,28 @@ def _build_pallas_fwd(BT, L, dim, N, chunk, d_tile, softplus, interpret,
             scratch_shapes=[pltpu.VMEM((d_tile, N), jnp.float32)],
             cost_estimate=pl.CostEstimate(
                 flops=flops,
-                bytes_accessed=(2 * BT * L * dim + 2 * BT * L * N) * 4,
+                bytes_accessed=(2 * BT * L * dim + 2 * BT * L * G * N) * 4,
                 transcendentals=BT * L * dim * N,
             ),
             interpret=interpret,
-        )(u, d, A, B3, C3, Dskip, bias)
+        )(u, d, A, B4, C4, Dskip, bias)
 
     return fwd
 
 
-def _pick_tiles(L, dim, N):
+def _pick_tiles(L, dim, G, N):
     """Choose (chunk, d_tile). Working arrays are (d_tile, chunk) fp32 tiles;
     keep the live set (~10 arrays) under ~8MB of VMEM. Measured on v5e:
     chunk 1024-2048 is fastest (fewer grid steps amortize the Hillis-Steele
-    ramp); below 256 grid overhead dominates."""
-    if dim <= 256:
-        d_tile = dim
+    ramp); below 256 grid overhead dominates. d_tile must divide the
+    per-group channel count so each tile maps to one B/C group."""
+    dg = dim // G
+    if dg <= 256:
+        d_tile = dg
     else:
         d_tile = max(
-            (c for c in (256, 192, 128, 96, 64, 48, 32, 16, 8) if dim % c == 0),
-            default=dim,
+            (c for c in (256, 192, 128, 96, 64, 48, 32, 16, 8) if dg % c == 0),
+            default=dg,
         )
     chunk = 2048
     budget = 8 * 1024 * 1024  # bytes
@@ -160,35 +173,38 @@ def _pick_tiles(L, dim, N):
     return chunk, d_tile
 
 
-def scan_supported(u_shape, n_groups, N, return_last_state=False):
+def scan_supported(u_shape, n_groups, N, return_last_state=False, min_l=512):
     if return_last_state:
         return False
     if N > MAX_UNROLL_N:
         return False
-    if n_groups != 1:
-        return False
     BT, L, dim = u_shape
-    if dim % 8 != 0:
+    if dim % n_groups != 0:
         return False
-    chunk, d_tile = _pick_tiles(L, dim, N)
-    if chunk < 8 or dim % d_tile != 0:
+    dg = dim // n_groups
+    if dg % 8 != 0:
+        return False
+    if L < min_l:  # grid overhead dominates tiny scans; XLA handles them
+        return False
+    chunk, d_tile = _pick_tiles(L, dim, n_groups, N)
+    if chunk < 8 or dg % d_tile != 0:
         return False
     return True
 
 
 def selective_scan_dl(u, delta, A, B, C, Dskip, bias, *, softplus=True,
                       interpret=False):
-    """Forward scan in native (batch, D, L) layout; B/C are (batch, N, L).
+    """Forward scan in native (batch, D, L) layout; B/C are (batch, G, N, L).
 
     All arguments required (use zeros for no-op Dskip/bias). Differentiable
     via the custom VJP of `selective_scan` — prefer that wrapper in model
     code; this is the raw forward.
     """
     BT, dim, L = u.shape
-    N = A.shape[1]
-    chunk, d_tile = _pick_tiles(L, dim, N)
+    G, N = B.shape[1], A.shape[1]
+    chunk, d_tile = _pick_tiles(L, dim, G, N)
     fwd = _build_pallas_fwd(
-        BT, L, dim, N, chunk, d_tile, softplus, interpret, str(u.dtype)
+        BT, L, dim, N, G, chunk, d_tile, softplus, interpret, str(u.dtype)
     )
     Dskip2 = Dskip.astype(jnp.float32).reshape(dim, 1)
     bias2 = bias.astype(jnp.float32).reshape(dim, 1)
@@ -200,8 +216,8 @@ def _scan_pallas_fwd_impl(u, delta, A, B, C, Dskip, bias, *, softplus,
     # channels-last API -> DL kernel layout
     u_dl = jnp.swapaxes(u, 1, 2)
     d_dl = jnp.swapaxes(delta, 1, 2)
-    B_dl = jnp.swapaxes(B[:, :, 0, :], 1, 2)  # (BT, N, L)
-    C_dl = jnp.swapaxes(C[:, :, 0, :], 1, 2)
+    B_dl = jnp.moveaxis(B, 1, 3)  # (BT, L, G, N) -> (BT, G, N, L)
+    C_dl = jnp.moveaxis(C, 1, 3)
     y_dl = selective_scan_dl(
         u_dl, d_dl, A, B_dl, C_dl, Dskip, bias,
         softplus=softplus, interpret=interpret,
@@ -227,8 +243,8 @@ def _make_vjp_op(softplus: bool, interpret: bool, dl: bool):
                 jnp.swapaxes(u, 1, 2),
                 jnp.swapaxes(delta, 1, 2),
                 A,
-                jnp.swapaxes(B, 1, 2)[:, :, None, :],
-                jnp.swapaxes(C, 1, 2)[:, :, None, :],
+                jnp.moveaxis(B, 3, 1),  # (BT, G, N, L) -> (BT, L, G, N)
+                jnp.moveaxis(C, 3, 1),
                 Dskip,
                 bias,
                 delta_softplus=softplus,
@@ -294,7 +310,8 @@ def selective_scan(
         )
     N = A.shape[1]
     if impl == "pallas" and scan_supported(
-        u.shape, B.shape[2], N, return_last_state
+        u.shape, B.shape[2], N, return_last_state,
+        min_l=0 if interpret else 512,
     ):
         dim = u.shape[2]
         Dskip = jnp.zeros((dim,), jnp.float32) if D is None else D

@@ -1,0 +1,297 @@
+"""SRModel / ImageCleanModel — single-network restoration training.
+
+Rebuilds pip-basicsr `SRModel` + the reference subclasses
+(`/root/reference/SRGAN/VmambaIR/models/MambaSISR_model.py:16-147` pixel
+[+perceptual] training with pad/unpad test;
+`Deraining/basicsr/models/image_restoration_model.py:51-327` L1-family loss,
+grad-clip, mixup, EMA-preferring eval;
+`SRGAN/VmambaIR/models/MambaSISR2_model.py:99-195` fixed-tile chop test).
+
+The whole optimization step — forward, loss, grad, all-reduce (implicit via
+sharding), optax update, EMA lerp — is ONE jitted program with donated
+state. LR is a traced scalar so schedule changes don't recompile.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from collections import OrderedDict
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import optax
+
+from ..losses import build_loss
+from ..models import build_network
+from ..parallel.mesh import batch_sharding, replicated
+from ..utils.registry import MODEL_REGISTRY
+from .base_model import BaseModel, build_optimizer, ema_update, set_lr
+from .checkpoint import (
+    load_network,
+    load_training_state,
+    save_network,
+    save_training_state,
+)
+
+logger = logging.getLogger("vmambair_tpu")
+
+
+def mixup_batch(rng, lq, gt, alpha=1.2):
+    """Mixup augmentation (`image_restoration_model.py:22-49`): convex-combine
+    pairs inside the batch with Beta(alpha, alpha) weights."""
+    k1, k2 = jax.random.split(rng)
+    lam = jax.random.beta(k1, alpha, alpha)
+    perm = jax.random.permutation(k2, lq.shape[0])
+    return lam * lq + (1 - lam) * lq[perm], lam * gt + (1 - lam) * gt[perm]
+
+
+@MODEL_REGISTRY.register(name="SRModel")
+class SRModel(BaseModel):
+    """Single-generator restoration model (pixel + optional perceptual)."""
+
+    def __init__(self, opt: Dict[str, Any]):
+        super().__init__(opt)
+        self.net_g = build_network(opt["network_g"])
+        self.scale = int(opt.get("scale", 1))
+        self.window_size = int((opt.get("val") or {}).get("window_size", 8))
+
+        init_hw = 32
+        dummy = jnp.zeros((1, init_hw, init_hw, opt["network_g"].get(
+            "inp_channels", 3)), jnp.float32)
+        self.rng, init_key = jax.random.split(self.rng)
+        with self.mesh:
+            self.params = jax.jit(self.net_g.init)(init_key, dummy)
+        self.params = jax.device_put(self.params, replicated(self.mesh))
+        self.ema_decay = 0.0
+        self.params_ema = None
+        self.opt_state = None
+        self.log_dict = OrderedDict()
+        self.output = None
+        self.lq = None
+        self.gt = None
+
+        if self.is_train:
+            self.init_training_settings()
+        load_path = (opt.get("path") or {}).get("pretrain_network_g")
+        if load_path:
+            self.load_net_g(load_path)
+
+    # ------------------------------------------------------------------
+    def init_training_settings(self):
+        train_opt = self.opt["train"]
+        self.ema_decay = float(train_opt.get("ema_decay", 0))
+        if self.ema_decay > 0:
+            self.params_ema = jax.tree_util.tree_map(jnp.copy, self.params)
+        self.mixup = bool(train_opt.get("mixup", False))
+
+        pixel_type = train_opt.get("pixel_opt")
+        self.cri_pix = build_loss(dict(pixel_type)) if pixel_type else None
+        percep_opt = train_opt.get("perceptual_opt")
+        self.cri_perceptual = (
+            build_loss(dict(percep_opt)) if percep_opt else None
+        )
+        if self.cri_pix is None and self.cri_perceptual is None:
+            raise ValueError("Both pixel and perceptual losses are None.")
+
+        grad_clip = None
+        if train_opt.get("use_grad_clip"):
+            grad_clip = float(train_opt.get("grad_clip", 0.01))
+        optim_opt = dict(train_opt["optim_g"])
+        self.optimizer = build_optimizer(optim_opt, grad_clip)
+        self.opt_state = jax.jit(self.optimizer.init)(self.params)
+        self.opt_state = jax.device_put(
+            self.opt_state, replicated(self.mesh)
+        )
+        self.schedule = self._make_schedule(train_opt)
+        self._train_step = self._build_train_step()
+
+    def _loss_terms(self, params, lq, gt):
+        output = self.net_g.apply(params, lq)
+        losses = {}
+        total = 0.0
+        if self.cri_pix is not None:
+            l_pix = self.cri_pix(output, gt)
+            losses["l_pix"] = l_pix
+            total = total + l_pix
+        if self.cri_perceptual is not None:
+            l_percep, l_style = self.cri_perceptual(output, gt)
+            if l_percep is not None:
+                losses["l_percep"] = l_percep
+                total = total + l_percep
+            if l_style is not None:
+                losses["l_style"] = l_style
+                total = total + l_style
+        return total, losses
+
+    def _build_train_step(self):
+        ema_decay = self.ema_decay
+        mixup = self.mixup
+
+        def step(params, params_ema, opt_state, lq, gt, lr, rng):
+            if mixup:
+                rng, k = jax.random.split(rng)
+                lq, gt = mixup_batch(k, lq, gt)
+
+            def loss_fn(p):
+                return self._loss_terms(p, lq, gt)
+
+            (_, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            opt_state = set_lr(opt_state, lr)
+            updates, opt_state = self.optimizer.update(
+                grads, opt_state, params
+            )
+            params = optax.apply_updates(params, updates)
+            if ema_decay > 0:
+                params_ema = ema_update(params_ema, params, ema_decay)
+            return params, params_ema, opt_state, losses, rng
+
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    # -- L2 contract -------------------------------------------------------
+    def feed_data(self, data: Dict[str, Any]):
+        # shard the batch over the data axis when divisible (training);
+        # otherwise replicate (eval batch=1 on a multi-device mesh)
+        n_dev = self.mesh.devices.size
+        b = np.asarray(data["lq"]).shape[0]
+        sh = batch_sharding(self.mesh) if b % n_dev == 0 else replicated(
+            self.mesh)
+        self.lq = jax.device_put(
+            jnp.asarray(data["lq"], jnp.float32), sh
+        )
+        self.gt = (
+            jax.device_put(jnp.asarray(data["gt"], jnp.float32), sh)
+            if "gt" in data
+            else None
+        )
+
+    def optimize_parameters(self, current_iter: int):
+        lr = self.schedule(current_iter)
+        self.rng, step_rng = jax.random.split(self.rng)
+        (self.params, self.params_ema, self.opt_state, losses,
+         _) = self._train_step(
+            self.params, self.params_ema, self.opt_state,
+            self.lq, self.gt, jnp.float32(lr), step_rng,
+        )
+        self.log_dict = OrderedDict(
+            (k, float(v)) for k, v in losses.items()
+        )
+        self.log_dict["lr"] = float(lr)
+
+    def eval_params(self):
+        return self.params_ema if self.params_ema is not None else self.params
+
+    @functools.cached_property
+    def _apply_jit(self):
+        return jax.jit(self.net_g.apply)
+
+    def test(self):
+        """Pad-to-window forward + crop back
+        (`MambaSISR_model.py:87-118`)."""
+        lq = self.lq
+        b, h, w, c = lq.shape
+        ws = self.window_size
+        ph = (ws - h % ws) % ws
+        pw = (ws - w % ws) % ws
+        if ph or pw:
+            lq = jnp.pad(
+                lq, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect"
+            )
+        out = self._apply_jit(self.eval_params(), lq)
+        self.output = out[:, : h * self.scale, : w * self.scale, :]
+
+    def test_tiled(self, tile: int = 64, tile_pad: int = 0):
+        """Static-shape chop inference (`MambaSISR2_model.py:99-195`
+        non-overlapping; `utils.py:97-170` overlapping halo when
+        tile_pad > 0). Every tile has the same shape -> one jit cache
+        entry regardless of image size."""
+        lq = self.lq
+        b, h, w, c = lq.shape
+        s = self.scale
+        ph = (tile - h % tile) % tile
+        pw = (tile - w % tile) % tile
+        lqp = jnp.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        hp, wp = h + ph, w + pw
+        ny, nx = hp // tile, wp // tile
+        params = self.eval_params()
+        canvas = np.zeros((b, hp * s, wp * s, c), np.float32)
+        for iy in range(ny):
+            for ix in range(nx):
+                y0, x0 = iy * tile, ix * tile
+                ylo = max(y0 - tile_pad, 0)
+                xlo = max(x0 - tile_pad, 0)
+                yhi = min(y0 + tile + tile_pad, hp)
+                xhi = min(x0 + tile + tile_pad, wp)
+                patch = jax.lax.dynamic_slice(
+                    lqp, (0, ylo, xlo, 0),
+                    (b, yhi - ylo, xhi - xlo, c),
+                )
+                out = self._apply_jit(params, patch)
+                oy, ox = (y0 - ylo) * s, (x0 - xlo) * s
+                canvas[:, y0 * s : (y0 + tile) * s,
+                       x0 * s : (x0 + tile) * s, :] = np.asarray(
+                    out[:, oy : oy + tile * s, ox : ox + tile * s, :]
+                )
+        self.output = jnp.asarray(canvas[:, : h * s, : w * s, :])
+
+    def save(self, epoch: int, current_iter: int):
+        save_network(
+            self._net_path("net_g", current_iter),
+            self.params,
+            self.params_ema,
+        )
+        if current_iter != -1:
+            save_training_state(
+                self._state_path(current_iter),
+                current_iter,
+                epoch,
+                opt_state=self.opt_state,
+                params_ema=self.params_ema,
+            )
+
+    def load_net_g(self, path: str, param_key: Optional[str] = None):
+        key = param_key or (self.opt.get("path") or {}).get(
+            "param_key_g", "params"
+        )
+        strict = bool((self.opt.get("path") or {}).get(
+            "strict_load_g", True))
+        self.params = load_network(path, self.params, key, strict)
+        self.params = jax.device_put(self.params, replicated(self.mesh))
+        if self.params_ema is not None:
+            try:
+                self.params_ema = load_network(
+                    path, self.params_ema, "params_ema", strict
+                )
+            except KeyError:
+                self.params_ema = jax.tree_util.tree_map(jnp.copy, self.params)
+
+    def resume_training(self, state_path: str) -> Dict[str, int]:
+        targets = {"opt_state": self.opt_state}
+        if self.params_ema is not None:
+            targets["params_ema"] = self.params_ema
+        st = load_training_state(state_path, targets)
+        if "opt_state" in st:
+            self.opt_state = jax.device_put(
+                st["opt_state"], replicated(self.mesh)
+            )
+        if "params_ema" in st:
+            self.params_ema = jax.device_put(
+                st["params_ema"], replicated(self.mesh)
+            )
+        return {"iter": st["iter"], "epoch": st["epoch"]}
+
+
+@MODEL_REGISTRY.register(name="MambaSISRModel")
+@MODEL_REGISTRY.register(name="MambaSISRModel2")
+@MODEL_REGISTRY.register(name="ImageCleanModel")
+class ImageRestorationModel(SRModel):
+    """Named aliases: the reference's MambaSISR S1 trainer
+    (`MambaSISR_model.py:16`) and the deraining ImageCleanModel
+    (`image_restoration_model.py:51`) reduce to SRModel behavior here (the
+    progressive-patch logic lives in the train pipeline, the tiled test in
+    `test_tiled`)."""
