@@ -171,9 +171,9 @@ def test_sr_model_train_and_resume(tmp_path):
                       "num_refinement_blocks": 1, "scan_impl": "xla"},
         "path": {"models": str(tmp_path), "training_states": str(tmp_path)},
         "train": {
-            "total_iter": 4, "ema_decay": 0.999,
-            "optim_g": {"type": "Adam", "lr": 1e-3, "betas": [0.9, 0.99]},
-            "scheduler": {"type": "MultiStepRestartLR", "milestones": [3],
+            "total_iter": 12, "ema_decay": 0.999,
+            "optim_g": {"type": "Adam", "lr": 3e-3, "betas": [0.9, 0.99]},
+            "scheduler": {"type": "MultiStepRestartLR", "milestones": [11],
                           "gamma": 0.1},
             "pixel_opt": {"type": "L1Loss"},
         },
@@ -182,15 +182,15 @@ def test_sr_model_train_and_resume(tmp_path):
     m = build_model(opt)
     rng = np.random.RandomState(0)
     batch = {"lq": rng.rand(2, 16, 16, 3).astype(np.float32)}
-    batch["gt"] = batch["lq"]  # identity task: loss must drop fast
+    batch["gt"] = batch["lq"]  # identity task: loss must drop
     m.feed_data(batch)
     m.optimize_parameters(1)
     l1 = m.log_dict["l_pix"]
-    for it in range(2, 5):
+    for it in range(2, 13):
         m.feed_data(batch)
         m.optimize_parameters(it)
     assert m.log_dict["l_pix"] < l1
-    assert m.log_dict["lr"] == pytest.approx(1e-4)  # milestone hit
+    assert m.log_dict["lr"] == pytest.approx(3e-4)  # milestone hit
 
     m.save(epoch=0, current_iter=4)
     assert os.path.exists(os.path.join(str(tmp_path), "net_g_4.ckpt"))

@@ -41,8 +41,11 @@ def filter2d(img: jax.Array, kernel: jax.Array) -> jax.Array:
     imgp = jnp.pad(
         img, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect"
     )
-    # fold batch into channels for a single grouped conv
-    x = jnp.moveaxis(imgp, 0, 3).reshape(1, h + 2 * pad, w + 2 * pad, b * c)
+    # fold batch into channels for a single grouped conv; batch-major
+    # channel order must match the kernel layout below
+    x = jnp.transpose(imgp, (1, 2, 0, 3)).reshape(
+        1, h + 2 * pad, w + 2 * pad, b * c
+    )
     # kernel (b, k, k) -> HWIO (k, k, 1, b*c), each channel gets its sample's
     # kernel (flipped: conv vs correlation — basicsr uses conv2d which is
     # cross-correlation in torch, so no flip)
@@ -53,7 +56,7 @@ def filter2d(img: jax.Array, kernel: jax.Array) -> jax.Array:
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=b * c,
     )
-    return jnp.moveaxis(out.reshape(h, w, b, c), 2, 0)
+    return jnp.transpose(out.reshape(h, w, b, c), (2, 0, 1, 3))
 
 
 # ---------------------------------------------------------------- USM sharp
@@ -282,7 +285,7 @@ def jpeg_compress(img: jax.Array, quality: jax.Array) -> jax.Array:
         hh, ww = chan.shape[1:]
         blocks = _blockify(chan - 128.0)  # (b, hb, wb, 8, 8)
         coefs = jnp.einsum("ij,bhwjk,lk->bhwil", dct, blocks, dct)
-        q = jnp.clip(jnp.floor(table * factor[:, :, :, 0] + 0.5), 1, 255)
+        q = jnp.clip(jnp.floor(table * factor + 0.5), 1, 255)
         # q: (B,1,1,8,8) broadcast over blocks
         quant = jnp.round(coefs / q)
         deq = quant * q

@@ -90,11 +90,27 @@ def build_optimizer(optim_opt: dict, grad_clip: Optional[float] = None):
 
 
 def set_lr(opt_state, lr):
-    """Set the injected learning rate on an (optionally chained) state."""
-    states = opt_state if isinstance(opt_state, tuple) else (opt_state,)
-    for s in states:
-        if hasattr(s, "hyperparams"):
-            s.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    """Set the injected learning rate on an (optionally chained) state.
+
+    `InjectStatefulHyperparamsState` is itself a NamedTuple, so the
+    `.hyperparams` check must come BEFORE tuple recursion — iterating it as
+    a tuple visits its fields and silently sets nothing (training would run
+    at the lr=0.0 the optimizer was built with)."""
+    lr = jnp.asarray(lr, jnp.float32)
+
+    def visit(s) -> bool:
+        hp = getattr(s, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp:
+            hp["learning_rate"] = lr
+            return True
+        if isinstance(s, tuple):
+            return any([visit(x) for x in s])
+        return False
+
+    if not visit(opt_state):
+        raise ValueError(
+            "optimizer state has no injectable learning_rate hyperparam"
+        )
     return opt_state
 
 
