@@ -31,7 +31,8 @@ TILE = 128      # input tile (output 512x512)
 BATCH = 8       # tiles per step
 SCALE = 4
 WARMUP = 2
-ITERS = 8
+ITERS = 17
+REPEATS = 3
 
 
 def main():
@@ -42,26 +43,42 @@ def main():
     x = jax.random.uniform(key, (BATCH, TILE, TILE, 3), jnp.float32)
     params = jax.jit(net.init)(key, x[:1])
 
-    @jax.jit
-    def step(params, x):
-        y = net.apply(params, x)
-        # feed a shrunken output back as the next input: chains iterations
-        nxt = y[:, : TILE, : TILE, :]
-        return y, nxt
+    import functools
 
-    # warmup/compile
-    xin = x
-    for _ in range(WARMUP):
-        y, xin = step(params, xin)
-    jax.block_until_ready(y)
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_n(params, x, n):
+        # the iteration loop lives INSIDE jit: the axon tunnel adds
+        # ~100ms+ RTT per dispatch and caches identical requests, so
+        # per-call host loops measure the tunnel, not the chip
+        def body(i, xin):
+            y = net.apply(params, xin)
+            return y[:, :TILE, :TILE, :]  # chain: output feeds next input
+        return net.apply(params, jax.lax.fori_loop(0, n - 1, body, x))
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        y, xin = step(params, xin)
-    # host fetch of a data-dependent scalar defeats any response caching
-    checksum = float(jnp.sum(y[0, :2, :2, 0]))
-    jax.block_until_ready(y)
-    dt = time.perf_counter() - t0
+    # compile both loop lengths
+    jax.block_until_ready(run_n(params, x, 1))
+    jax.block_until_ready(run_n(params, x, ITERS))
+
+    def timed(n, seed):
+        # fresh input per timed call — the tunnel caches identical requests
+        xi = jax.random.uniform(
+            jax.random.PRNGKey(seed), (BATCH, TILE, TILE, 3), jnp.float32
+        )
+        jax.block_until_ready(xi)
+        t0 = time.perf_counter()
+        y = run_n(params, xi, n)
+        # host fetch of a data-dependent scalar defeats response caching
+        chk = float(jnp.sum(y[0, :2, :2, 0]))
+        jax.block_until_ready(y)
+        return time.perf_counter() - t0, chk
+
+    # tunnel RTT is large and erratic: take the MIN over repeats of both
+    # loop lengths, difference out the fixed dispatch cost
+    t_one = min(timed(1, 101 + i)[0] for i in range(REPEATS))
+    pairs = [timed(ITERS, 501 + i) for i in range(REPEATS)]
+    t_n = min(p[0] for p in pairs)
+    checksum = pairs[-1][1]
+    dt = max(t_n - t_one, 1e-9) * ITERS / (ITERS - 1)
 
     out_mp = BATCH * (TILE * SCALE) ** 2 / 1e6
     mps = out_mp * ITERS / dt
@@ -72,7 +89,8 @@ def main():
         "vs_baseline": round(mps / BASELINE_MPS, 3),
         "detail": {
             "tile_in": TILE, "batch": BATCH, "iters": ITERS,
-            "seconds": round(dt, 3), "checksum": checksum,
+            "seconds": round(dt, 3), "t_one": round(t_one, 3),
+            "checksum": checksum,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

@@ -166,3 +166,61 @@ def test_empty_D_and_no_bias():
     y_ref = selective_scan_seq(u, delta, A, B, C)
     y = selective_scan_xla(u, delta, A, B, C, chunk_size=16)
     check_close(y, y_ref, jnp.float32, "no-D no-bias")
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_reverse_scan_parity(impl):
+    """reverse=True == flip -> scan -> flip (the reference's directions 2/3
+    without materializing the flips)."""
+    key = jax.random.PRNGKey(3)
+    batch, L, dim, N, G = 2, 64, 16, 4, 2
+    u, delta, A, B, C, D, bias = make_inputs(
+        key, batch, L, dim, N, G, jnp.float32, True, True
+    )
+    kw = dict(D=D, delta_bias=bias, delta_softplus=True, impl=impl,
+              interpret=(impl == "pallas"))
+    y_rev = selective_scan(u, delta, A, B, C, reverse=True, **kw)
+    y_ref = jnp.flip(
+        selective_scan(
+            jnp.flip(u, 1), jnp.flip(delta, 1), A, jnp.flip(B, 1),
+            jnp.flip(C, 1), D=D, delta_bias=bias, delta_softplus=True,
+            impl="seq",
+        ),
+        1,
+    )
+    check_close(y_rev, y_ref, jnp.float32, f"reverse {impl}")
+
+
+def test_reverse_scan_gradients():
+    key = jax.random.PRNGKey(5)
+    batch, L, dim, N, G = 1, 32, 8, 4, 1
+    u, delta, A, B, C, D, bias = make_inputs(
+        key, batch, L, dim, N, G, jnp.float32, True, True
+    )
+
+    def loss(impl, rev):
+        def f(u, delta, A, B, C, D, bias):
+            if rev:
+                y = selective_scan(
+                    u, delta, A, B, C, D, bias, delta_softplus=True,
+                    impl=impl, interpret=(impl == "pallas"), reverse=True,
+                )
+            else:
+                y = jnp.flip(
+                    selective_scan(
+                        jnp.flip(u, 1), jnp.flip(delta, 1), A,
+                        jnp.flip(B, 1), jnp.flip(C, 1), D, bias,
+                        delta_softplus=True, impl=impl,
+                    ),
+                    1,
+                )
+            return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape)))
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4, 5, 6))(
+            u, delta, A, B, C, D, bias
+        )
+
+    g_new = loss("pallas", True)
+    g_ref = loss("seq", False)
+    for a, b, name in zip(g_new, g_ref,
+                          ["u", "delta", "A", "B", "C", "D", "bias"]):
+        check_close(a, b, jnp.float32, f"grad {name}", scale=5.0)

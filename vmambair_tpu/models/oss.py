@@ -108,7 +108,17 @@ def _multi_dir_scan(xs, x_proj_weight, dt_projs_weight, dt_projs_bias,
 
 class SpatialScan(nn.Module):
     """4-direction spatial selective scan + merge + LayerNorm
-    (`forward_corev1`, `MambaSISR6_arch.py:395-436`)."""
+    (`forward_corev1`, `MambaSISR6_arch.py:395-436`).
+
+    Flip-free formulation: the reference materializes a (B, 4, C, HW)
+    direction stack with two flipped copies (`cross_scan_2d`,
+    `MambaSISR6_arch.py:401-404`). All per-position ops (x_proj, dt_proj)
+    commute with sequence reversal, so the reversed directions 2/3 need no
+    flipped data — only a reverse=True scan. Directions are paired by
+    layout: {row-major, col-major} x {forward, reverse} = 2 kernel calls
+    on (B, L, 2D) with one B/C group per layout; the only data movement
+    left is the H/W transpose for the col-major pair.
+    """
 
     d_inner: int
     d_state: int
@@ -132,13 +142,42 @@ class SpatialScan(nn.Module):
         A_logs = self.param("A_logs", _a_log_init(K, d, N), (K * d, N))
         Ds = self.param("Ds", nn.initializers.ones, (K * d,))
 
-        xs = cross_scan_2d(x)  # (B, 4, L, D)
-        ys = _multi_dir_scan(
-            xs, x_proj_weight, dt_projs_weight, dt_projs_bias, A_logs, Ds,
-            N, R, self.scan_impl,
-        )
-        y = cross_merge_2d(ys.astype(jnp.float32), h, w)
-        y = y.reshape(b, h, w, d)
+        L = h * w
+        x_row = x.reshape(b, L, d)
+        x_col = jnp.swapaxes(x, 1, 2).reshape(b, L, d)
+        # (B, L, 2, D): group 0 = row-major layout, group 1 = col-major
+        u2 = jnp.stack([x_row, x_col], axis=2)
+        A = -jnp.exp(A_logs.astype(jnp.float32)).reshape(K, d, N)
+        Dk = Ds.astype(jnp.float32).reshape(K, d)
+        biask = dt_projs_bias.astype(jnp.float32)
+
+        def run(k0, rev):
+            sl = slice(k0, k0 + 2)
+            x_dbl = jnp.einsum("blgd,gcd->blgc", u2, x_proj_weight[sl])
+            dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+            dts = jnp.einsum("blgr,gdr->blgd", dts, dt_projs_weight[sl])
+            y = selective_scan(
+                u2.reshape(b, L, 2 * d),
+                dts.reshape(b, L, 2 * d),
+                A[sl].reshape(2 * d, N),
+                Bs,
+                Cs,
+                D=Dk[sl].reshape(2 * d),
+                delta_bias=biask[sl].reshape(2 * d),
+                delta_softplus=True,
+                impl=self.scan_impl,
+                reverse=rev,
+            )
+            return y.reshape(b, L, 2, d)
+
+        y_fwd = run(0, False)   # direction 0 = row fwd, 1 = col fwd
+        y_rev = run(2, True)    # direction 2 = row rev, 3 = col rev
+        y_row = y_fwd[:, :, 0] + y_rev[:, :, 0]
+        y_col = y_fwd[:, :, 1] + y_rev[:, :, 1]
+        y = y_row + jnp.swapaxes(
+            y_col.reshape(b, w, h, d), 1, 2
+        ).reshape(b, L, d)
+        y = y.astype(jnp.float32).reshape(b, h, w, d)
         y = LayerNorm2d(d, use_bias=True, name="out_norm")(y)
         return y.astype(x.dtype)
 

@@ -56,12 +56,18 @@ def _softplus(x):
 
 
 def _scan_kernel(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
-                 y_ref, h_ref, *, nstate, chunk, softplus):
+                 y_ref, h_ref, *, nstate, chunk, softplus, reverse=False):
     """One (batch, d_tile, chunk) grid step, (D, L) layout.
 
     Block shapes: u/d/y (1, Dt, chunk); A (Dt, N); B/C (1, 1, N, chunk)
     [the group stripe for this d-tile]; Dskip/bias (Dt, 1); h scratch
     (Dt, N) fp32.
+
+    All N states are scanned TOGETHER on an (N*Dt, chunk) tile — one
+    Hillis-Steele pass chain for the whole state dimension instead of a
+    python loop of N chains (the states are independent recurrences, so
+    stacking them on the sublane axis is exact and cuts the number of
+    Mosaic shift/multiply ops by N).
     """
     c_idx = pl.program_id(2)
 
@@ -82,30 +88,44 @@ def _scan_kernel(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
     n_steps = int(math.log2(chunk))
     assert (1 << n_steps) == chunk, "chunk must be a power of two"
 
-    for n in range(nstate):
-        A_n = A_ref[:, n : n + 1].astype(jnp.float32)  # (Dt, 1)
-        a = jnp.exp(d * A_n)  # (Dt, chunk)
-        b = du * B_blk[n : n + 1, :]  # (Dt, chunk)
-        # Hillis-Steele inclusive scan of (a, b) pairs along the lane axis.
-        # Combine: (aL,bL) then (aR,bR) -> (aL*aR, aR*bL + bR).
-        for s in range(n_steps):
-            k = 1 << s
-            ident_a = jnp.ones((a.shape[0], k), jnp.float32)
-            ident_b = jnp.zeros((b.shape[0], k), jnp.float32)
-            a_prev = jnp.concatenate([ident_a, a[:, :-k]], axis=1)
-            b_prev = jnp.concatenate([ident_b, b[:, :-k]], axis=1)
-            b = a * b_prev + b
-            a = a * a_prev
-        h_n = a * h_ref[:, n : n + 1] + b  # (Dt, chunk)
-        y = y + C_blk[n : n + 1, :] * h_n
-        h_ref[:, n : n + 1] = h_n[:, chunk - 1 : chunk]
+    dt = d.shape[0]
+    N = nstate
+    # (N, Dt, chunk) stacks: a = exp(d * A_n), b = du * B_n.
+    # A arrives pre-transposed as (N, Dt); Mosaic handles 3-D elementwise
+    # ops and lane-axis concats natively (a 2-D (N*Dt, chunk) collapse
+    # would be an unsupported sublane shape cast).
+    A_t = A_ref[...].astype(jnp.float32)  # (N, Dt)
+    a = jnp.exp(d[None] * A_t[:, :, None])
+    b = du[None] * B_blk[:, None, :]
+    # Hillis-Steele inclusive scan of (a, b) pairs along the lane axis.
+    # Combine: (aL,bL) then (aR,bR) -> (aL*aR, aR*bL + bR).
+    # reverse=True scans right-to-left (the chunk grid axis is also
+    # reversed by the BlockSpec index map, so the carry stays causal).
+    for s in range(n_steps):
+        k = 1 << s
+        ident_a = jnp.ones((N, dt, k), jnp.float32)
+        ident_b = jnp.zeros((N, dt, k), jnp.float32)
+        if reverse:
+            a_prev = jnp.concatenate([a[:, :, k:], ident_a], axis=2)
+            b_prev = jnp.concatenate([b[:, :, k:], ident_b], axis=2)
+        else:
+            a_prev = jnp.concatenate([ident_a, a[:, :, :-k]], axis=2)
+            b_prev = jnp.concatenate([ident_b, b[:, :, :-k]], axis=2)
+        b = a * b_prev + b
+        a = a * a_prev
+    h0 = h_ref[...].astype(jnp.float32)  # (N, Dt, 1) carry
+    h_all = a * h0 + b  # (N, Dt, chunk)
+    # y += sum_n C_n * h_n
+    y = y + jnp.sum(C_blk[:, None, :] * h_all, axis=0)
+    edge = 0 if reverse else chunk - 1
+    h_ref[...] = h_all[:, :, edge : edge + 1]
 
     y_ref[0] = y.astype(y_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
 def _build_pallas_fwd(BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
-                      out_dtype_name):
+                      out_dtype_name, reverse=False):
     out_dtype = jnp.dtype(out_dtype_name)
     n_chunks = L // chunk
     n_dtiles = dim // d_tile
@@ -113,8 +133,11 @@ def _build_pallas_fwd(BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
 
     grid = (BT, n_dtiles, n_chunks)
     kernel = functools.partial(
-        _scan_kernel, nstate=N, chunk=chunk, softplus=softplus
+        _scan_kernel, nstate=N, chunk=chunk, softplus=softplus,
+        reverse=reverse,
     )
+    # reverse: walk chunks back-to-front so the carry is causal
+    cix = (lambda c: n_chunks - 1 - c) if reverse else (lambda c: c)
     flops = 9 * BT * L * dim * N
 
     def fwd(u, d, A, B4, C4, Dskip, bias):
@@ -122,23 +145,29 @@ def _build_pallas_fwd(BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, d_tile, chunk), lambda b, dt, c: (b, dt, c)),
-                pl.BlockSpec((1, d_tile, chunk), lambda b, dt, c: (b, dt, c)),
-                pl.BlockSpec((d_tile, N), lambda b, dt, c: (dt, 0)),
                 pl.BlockSpec(
-                    (1, 1, N, chunk), lambda b, dt, c: (b, dt // dg_tiles, 0, c)
+                    (1, d_tile, chunk), lambda b, dt, c: (b, dt, cix(c))
                 ),
                 pl.BlockSpec(
-                    (1, 1, N, chunk), lambda b, dt, c: (b, dt // dg_tiles, 0, c)
+                    (1, d_tile, chunk), lambda b, dt, c: (b, dt, cix(c))
+                ),
+                pl.BlockSpec((N, d_tile), lambda b, dt, c: (0, dt)),
+                pl.BlockSpec(
+                    (1, 1, N, chunk),
+                    lambda b, dt, c: (b, dt // dg_tiles, 0, cix(c)),
+                ),
+                pl.BlockSpec(
+                    (1, 1, N, chunk),
+                    lambda b, dt, c: (b, dt // dg_tiles, 0, cix(c)),
                 ),
                 pl.BlockSpec((d_tile, 1), lambda b, dt, c: (dt, 0)),
                 pl.BlockSpec((d_tile, 1), lambda b, dt, c: (dt, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (1, d_tile, chunk), lambda b, dt, c: (b, dt, c)
+                (1, d_tile, chunk), lambda b, dt, c: (b, dt, cix(c))
             ),
             out_shape=jax.ShapeDtypeStruct((BT, dim, L), out_dtype),
-            scratch_shapes=[pltpu.VMEM((d_tile, N), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((N, d_tile, 1), jnp.float32)],
             cost_estimate=pl.CostEstimate(
                 flops=flops,
                 bytes_accessed=(2 * BT * L * dim + 2 * BT * L * G * N) * 4,
@@ -151,11 +180,11 @@ def _build_pallas_fwd(BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
 
 
 def _pick_tiles(L, dim, G, N):
-    """Choose (chunk, d_tile). Working arrays are (d_tile, chunk) fp32 tiles;
-    keep the live set (~10 arrays) under ~8MB of VMEM. Measured on v5e:
-    chunk 1024-2048 is fastest (fewer grid steps amortize the Hillis-Steele
-    ramp); below 256 grid overhead dominates. d_tile must divide the
-    per-group channel count so each tile maps to one B/C group."""
+    """Choose (chunk, d_tile). The scan works on (N*d_tile, chunk) fp32
+    stacks (~4 live: a, b and their shifted copies) plus a handful of
+    (d_tile, chunk) tiles; keep that under ~32MB of the 128MB v5e VMEM so
+    double-buffered input DMA has room. d_tile must divide the per-group
+    channel count so each tile maps to one B/C group."""
     dg = dim // G
     if dg <= 256:
         d_tile = dg
@@ -165,8 +194,8 @@ def _pick_tiles(L, dim, G, N):
             default=dg,
         )
     chunk = 2048
-    budget = 8 * 1024 * 1024  # bytes
-    while chunk > 8 and 10 * d_tile * chunk * 4 > budget:
+    budget = 32 * 1024 * 1024  # bytes
+    while chunk > 8 and (4 * N + 8) * d_tile * chunk * 4 > budget:
         chunk //= 2
     while chunk > 1 and L % chunk != 0:
         chunk //= 2
@@ -193,26 +222,29 @@ def scan_supported(u_shape, n_groups, N, return_last_state=False, min_l=512):
 
 
 def selective_scan_dl(u, delta, A, B, C, Dskip, bias, *, softplus=True,
-                      interpret=False):
+                      interpret=False, reverse=False):
     """Forward scan in native (batch, D, L) layout; B/C are (batch, G, N, L).
 
     All arguments required (use zeros for no-op Dskip/bias). Differentiable
     via the custom VJP of `selective_scan` — prefer that wrapper in model
-    code; this is the raw forward.
+    code; this is the raw forward. reverse=True scans L right-to-left
+    (equivalent to flip -> scan -> flip without materializing the flips —
+    the reference's directions 2/3, `MambaSISR6_arch.py:403,427`).
     """
     BT, dim, L = u.shape
     G, N = B.shape[1], A.shape[1]
     chunk, d_tile = _pick_tiles(L, dim, G, N)
     fwd = _build_pallas_fwd(
-        BT, L, dim, N, G, chunk, d_tile, softplus, interpret, str(u.dtype)
+        BT, L, dim, N, G, chunk, d_tile, softplus, interpret, str(u.dtype),
+        reverse,
     )
     Dskip2 = Dskip.astype(jnp.float32).reshape(dim, 1)
     bias2 = bias.astype(jnp.float32).reshape(dim, 1)
-    return fwd(u, delta, A.astype(jnp.float32), B, C, Dskip2, bias2)
+    return fwd(u, delta, A.astype(jnp.float32).T, B, C, Dskip2, bias2)
 
 
 def _scan_pallas_fwd_impl(u, delta, A, B, C, Dskip, bias, *, softplus,
-                          interpret):
+                          interpret, reverse=False):
     # channels-last API -> DL kernel layout
     u_dl = jnp.swapaxes(u, 1, 2)
     d_dl = jnp.swapaxes(delta, 1, 2)
@@ -220,24 +252,34 @@ def _scan_pallas_fwd_impl(u, delta, A, B, C, Dskip, bias, *, softplus,
     C_dl = jnp.moveaxis(C, 1, 3)
     y_dl = selective_scan_dl(
         u_dl, d_dl, A, B_dl, C_dl, Dskip, bias,
-        softplus=softplus, interpret=interpret,
+        softplus=softplus, interpret=interpret, reverse=reverse,
     )
     return jnp.swapaxes(y_dl, 1, 2)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_vjp_op(softplus: bool, interpret: bool, dl: bool):
+def _make_vjp_op(softplus: bool, interpret: bool, dl: bool,
+                 reverse: bool = False):
     fwd_impl = (
         functools.partial(
-            selective_scan_dl, softplus=softplus, interpret=interpret
+            selective_scan_dl, softplus=softplus, interpret=interpret,
+            reverse=reverse,
         )
         if dl
         else functools.partial(
-            _scan_pallas_fwd_impl, softplus=softplus, interpret=interpret
+            _scan_pallas_fwd_impl, softplus=softplus, interpret=interpret,
+            reverse=reverse,
         )
     )
 
     def xla_equiv(u, delta, A, B, C, Dskip, bias):
+        # reverse == flip L -> scan -> flip back (the backward pass
+        # recomputes through this XLA-equivalent graph)
+        l_axis = 2 if dl else 1
+        if reverse:
+            u, delta = jnp.flip(u, l_axis), jnp.flip(delta, l_axis)
+            B = jnp.flip(B, 3 if dl else 1)
+            C = jnp.flip(C, 3 if dl else 1)
         if dl:
             y = selective_scan_xla(
                 jnp.swapaxes(u, 1, 2),
@@ -249,10 +291,14 @@ def _make_vjp_op(softplus: bool, interpret: bool, dl: bool):
                 bias,
                 delta_softplus=softplus,
             )
-            return jnp.swapaxes(y, 1, 2)
-        return selective_scan_xla(
-            u, delta, A, B, C, Dskip, bias, delta_softplus=softplus
-        )
+            y = jnp.swapaxes(y, 1, 2)
+        else:
+            y = selective_scan_xla(
+                u, delta, A, B, C, Dskip, bias, delta_softplus=softplus
+            )
+        if reverse:
+            y = jnp.flip(y, l_axis)
+        return y
 
     @jax.custom_vjp
     def op(u, delta, A, B, C, Dskip, bias):
@@ -274,9 +320,9 @@ def _make_vjp_op(softplus: bool, interpret: bool, dl: bool):
 
 
 def selective_scan_dl_vjp(u, delta, A, B, C, Dskip, bias, *, softplus=True,
-                          interpret=False):
+                          interpret=False, reverse=False):
     """Differentiable DL-layout scan (u/delta (BT,D,L); B/C (BT,N,L))."""
-    op = _make_vjp_op(bool(softplus), bool(interpret), True)
+    op = _make_vjp_op(bool(softplus), bool(interpret), True, bool(reverse))
     return op(u, delta, A, B, C, Dskip, bias)
 
 
@@ -292,6 +338,7 @@ def selective_scan(
     return_last_state: bool = False,
     impl: str = "auto",
     interpret: bool = False,
+    reverse: bool = False,
 ):
     """Selective scan with automatic implementation dispatch.
 
@@ -301,6 +348,13 @@ def selective_scan(
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if reverse and impl in ("seq", "xla"):
+        y = selective_scan(
+            jnp.flip(u, 1), jnp.flip(delta, 1), A, jnp.flip(B, 1),
+            jnp.flip(C, 1), D, delta_bias, delta_softplus,
+            return_last_state, impl, interpret,
+        )
+        return jnp.flip(y, 1)
     if impl == "seq":
         from .selective_scan import selective_scan_seq
 
@@ -318,8 +372,17 @@ def selective_scan(
         bias = (
             jnp.zeros((dim,), jnp.float32) if delta_bias is None else delta_bias
         )
-        op = _make_vjp_op(bool(delta_softplus), bool(interpret), False)
+        op = _make_vjp_op(
+            bool(delta_softplus), bool(interpret), False, bool(reverse)
+        )
         return op(u, delta, A, B, C, Dskip, bias)
+    if reverse:
+        y = selective_scan_xla(
+            jnp.flip(u, 1), jnp.flip(delta, 1), A, jnp.flip(B, 1),
+            jnp.flip(C, 1), D, delta_bias, delta_softplus,
+            return_last_state,
+        )
+        return jnp.flip(y, 1)
     return selective_scan_xla(
         u, delta, A, B, C, D, delta_bias, delta_softplus, return_last_state
     )
