@@ -94,8 +94,8 @@ def _scan_kernel(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
     # A arrives pre-transposed as (N, Dt); Mosaic handles 3-D elementwise
     # ops and lane-axis concats natively (a 2-D (N*Dt, chunk) collapse
     # would be an unsupported sublane shape cast).
-    A_t = A_ref[...].astype(jnp.float32)  # (N, Dt)
-    a = jnp.exp(d[None] * A_t[:, :, None])
+    A_t = A_ref[...].astype(jnp.float32)  # (N, Dt, 1)
+    a = jnp.exp(d[None] * A_t)
     b = du[None] * B_blk[:, None, :]
     # Hillis-Steele inclusive scan of (a, b) pairs along the lane axis.
     # Combine: (aL,bL) then (aR,bR) -> (aL*aR, aR*bL + bR).
@@ -151,7 +151,7 @@ def _build_pallas_fwd(BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
                 pl.BlockSpec(
                     (1, d_tile, chunk), lambda b, dt, c: (b, dt, cix(c))
                 ),
-                pl.BlockSpec((N, d_tile), lambda b, dt, c: (0, dt)),
+                pl.BlockSpec((N, d_tile, 1), lambda b, dt, c: (0, dt, 0)),
                 pl.BlockSpec(
                     (1, 1, N, chunk),
                     lambda b, dt, c: (b, dt // dg_tiles, 0, cix(c)),
@@ -172,6 +172,12 @@ def _build_pallas_fwd(BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
                 flops=flops,
                 bytes_accessed=(2 * BT * L * dim + 2 * BT * L * G * N) * 4,
                 transcendentals=BT * L * dim * N,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                # the (N, d_tile, chunk) working stacks exceed the default
+                # 16MB scoped-vmem limit; v5e has 128MB of VMEM
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
             interpret=interpret,
         )(u, d, A, B4, C4, Dskip, bias)
@@ -240,7 +246,8 @@ def selective_scan_dl(u, delta, A, B, C, Dskip, bias, *, softplus=True,
     )
     Dskip2 = Dskip.astype(jnp.float32).reshape(dim, 1)
     bias2 = bias.astype(jnp.float32).reshape(dim, 1)
-    return fwd(u, delta, A.astype(jnp.float32).T, B, C, Dskip2, bias2)
+    return fwd(u, delta, A.astype(jnp.float32).T[:, :, None], B, C,
+               Dskip2, bias2)
 
 
 def _scan_pallas_fwd_impl(u, delta, A, B, C, Dskip, bias, *, softplus,
