@@ -149,3 +149,60 @@ def test_finalize_options_dirtree(tmp_path):
     assert out["datasets"]["val"]["scale"] == 4
     assert out["path"]["models"].endswith("models")
     assert "experiments" in out["path"]["experiments_root"]
+
+
+def test_lpips_dists_relative_ordering():
+    """Without pretrained weights the scores are relative-only — but a
+    distorted image must still score worse than a near-identical one."""
+    import numpy as np
+
+    from vmambair_tpu.metrics.dists import DISTS
+    from vmambair_tpu.metrics.lpips import LPIPS
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    near = np.clip(img + 0.01 * rng.randn(64, 64, 3), 0, 1).astype(
+        np.float32)
+    far = rng.rand(64, 64, 3).astype(np.float32)
+    for metric in (LPIPS(), DISTS()):
+        d_near = metric(img, near)
+        d_far = metric(img, far)
+        assert d_near < d_far
+        assert metric(img, img) == min(metric(img, img), d_near)
+
+
+def test_niqe_requires_params():
+    import numpy as np
+    import pytest as _pytest
+
+    from vmambair_tpu.metrics.niqe import calculate_niqe
+
+    img = (np.random.RandomState(0).rand(128, 128, 3) * 255).astype(
+        "uint8")
+    with _pytest.raises(FileNotFoundError):
+        calculate_niqe(img)
+
+
+def test_gaussian_denoising_dataset(tmp_path):
+    import random as _random
+
+    import cv2
+    import numpy as np
+
+    from vmambair_tpu.data.task_datasets import GaussianDenoisingDataset
+
+    d = tmp_path / "gt"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        cv2.imwrite(str(d / f"{i}.png"),
+                    (rng.rand(40, 40, 3) * 255).astype(np.uint8))
+    ds = GaussianDenoisingDataset(dict(
+        dataroot_gt=str(d), phase="train", gt_size=32,
+        sigma_type="random", sigma_range=[5, 50],
+    ))
+    s = ds.__getitem__(0, rng=_random.Random(0))
+    assert s["lq"].shape == (32, 32, 3)
+    assert s["gt"].shape == (32, 32, 3)
+    noise = s["lq"] - s["gt"]
+    assert 0 < np.std(noise) < 0.25

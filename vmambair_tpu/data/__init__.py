@@ -11,6 +11,11 @@ from ..utils.registry import DATASET_REGISTRY, build_from_cfg
 from .loader import DataLoader, EnlargedSampler, InfinitePrefetcher
 from .paired_dataset import PairedImageDataset, SingleImageDataset
 from .realesrgan_dataset import RealESRGANDataset, RealESRGANPairedDataset
+from .task_datasets import (
+    DeblurPairedDataset,
+    DualPixelDefocusDataset,
+    GaussianDenoisingDataset,
+)
 
 logger = logging.getLogger("vmambair_tpu")
 

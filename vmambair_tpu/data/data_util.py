@@ -15,32 +15,35 @@ from ..utils.misc import scandir
 
 def paired_paths_from_folders(folders: Sequence[str], keys: Sequence[str],
                               filename_tmpl: str = "{}") -> List[dict]:
-    """Pair files from two folders by (templated) stem. keys e.g. ('lq','gt')."""
-    assert len(folders) == 2 and len(keys) == 2
-    input_folder, gt_folder = folders
-    input_key, gt_key = keys
-    input_paths = list(scandir(input_folder))
+    """Pair files from N folders by (templated) stem; the LAST entry is the
+    reference (GT) folder. keys e.g. ('lq', 'gt') or ('lqL', 'lqR', 'gt')."""
+    assert len(folders) == len(keys) and len(folders) >= 2
+    gt_folder, gt_key = folders[-1], keys[-1]
+    input_listings = [list(scandir(f)) for f in folders[:-1]]
     gt_paths = list(scandir(gt_folder))
-    assert len(input_paths) == len(gt_paths), (
-        f"{input_key} and {gt_key} have different number of images: "
-        f"{len(input_paths)}, {len(gt_paths)}"
-    )
+    for key, listing in zip(keys[:-1], input_listings):
+        assert len(listing) == len(gt_paths), (
+            f"{key} and {gt_key} have different number of images: "
+            f"{len(listing)}, {len(gt_paths)}"
+        )
     paths = []
     for gt_path in sorted(gt_paths):
         basename, ext = osp.splitext(osp.basename(gt_path))
-        input_name = f"{filename_tmpl.format(basename)}{ext}"
-        input_path = osp.join(input_folder, input_name)
-        if not osp.exists(input_path):
-            # tolerate differing extensions
-            cands = [p for p in input_paths
-                     if osp.splitext(osp.basename(p))[0]
-                     == filename_tmpl.format(basename)]
-            assert cands, f"{input_name} is not in {input_key} folder"
-            input_path = osp.join(input_folder, cands[0])
-        paths.append({
-            f"{input_key}_path": input_path,
-            f"{gt_key}_path": osp.join(gt_folder, gt_path),
-        })
+        entry = {f"{gt_key}_path": osp.join(gt_folder, gt_path)}
+        for key, folder, listing in zip(
+            keys[:-1], folders[:-1], input_listings
+        ):
+            input_name = f"{filename_tmpl.format(basename)}{ext}"
+            input_path = osp.join(folder, input_name)
+            if not osp.exists(input_path):
+                # tolerate differing extensions
+                cands = [p for p in listing
+                         if osp.splitext(osp.basename(p))[0]
+                         == filename_tmpl.format(basename)]
+                assert cands, f"{input_name} is not in {key} folder"
+                input_path = osp.join(folder, cands[0])
+            entry[f"{key}_path"] = input_path
+        paths.append(entry)
     return paths
 
 

@@ -6,6 +6,9 @@ from __future__ import annotations
 
 from ..utils.registry import METRIC_REGISTRY
 from .psnr_ssim import calculate_psnr, calculate_ssim
+from .lpips import calculate_lpips
+from .dists import calculate_dists
+from .niqe import calculate_niqe
 
 
 def calculate_metric(opt: dict, *args):
@@ -20,5 +23,8 @@ __all__ = [
     "calculate_metric",
     "calculate_psnr",
     "calculate_ssim",
+    "calculate_lpips",
+    "calculate_dists",
+    "calculate_niqe",
     "METRIC_REGISTRY",
 ]
