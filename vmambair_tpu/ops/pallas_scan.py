@@ -185,6 +185,128 @@ def _build_pallas_fwd(BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
     return fwd
 
 
+def _scan_kernel_ld(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+                    y_ref, h_ref, *, nstate, chunk, softplus,
+                    reverse=False):
+    """Channels-LAST grid step: u/d/y blocks (1, chunk, Dt) — sequence on
+    sublanes, channels on lanes. This matches the model's native (B, L, D)
+    activations so NO transposes of the big operands are needed around the
+    kernel (the (B, D, L) layout costs three ~full-tensor transposes per
+    call, which dominated the scan wall-time). B/C arrive as
+    (B, G, N, L, 1) blocks (1, 1, N, chunk, 1) — a cheap host-side
+    relayout of the small projection tensors that makes the per-state
+    multiply a pure broadcast. The Hillis-Steele runs along the SUBLANE axis of
+    (N, chunk, Dt) stacks.
+
+    A: (N, 1, dim) -> block (N, 1, Dt); bias/Dskip: (1, dim) -> (1, Dt);
+    h scratch: (N, 1, Dt).
+    """
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    d = d_ref[0].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    if softplus:
+        d = _softplus(d)
+    u = u_ref[0].astype(jnp.float32)  # (chunk, Dt)
+    du = d * u
+    y = Dskip_ref[...].astype(jnp.float32) * u
+
+    B_blk = B_ref[0, 0].astype(jnp.float32)  # (N, chunk, 1)
+    C_blk = C_ref[0, 0].astype(jnp.float32)
+
+    n_steps = int(math.log2(chunk))
+    assert (1 << n_steps) == chunk, "chunk must be a power of two"
+
+    N = nstate
+    dt = u.shape[1]
+    A_t = A_ref[...].astype(jnp.float32)  # (N, 1, Dt)
+    a = jnp.exp(d[None] * A_t)  # (N, chunk, Dt)
+    b = du[None] * B_blk  # (N, chunk, Dt)
+    for s in range(n_steps):
+        k = 1 << s
+        ident_a = jnp.ones((N, k, dt), jnp.float32)
+        ident_b = jnp.zeros((N, k, dt), jnp.float32)
+        if reverse:
+            a_prev = jnp.concatenate([a[:, k:, :], ident_a], axis=1)
+            b_prev = jnp.concatenate([b[:, k:, :], ident_b], axis=1)
+        else:
+            a_prev = jnp.concatenate([ident_a, a[:, :-k, :]], axis=1)
+            b_prev = jnp.concatenate([ident_b, b[:, :-k, :]], axis=1)
+        b = a * b_prev + b
+        a = a * a_prev
+    # carry scratch is (N, 8, Dt) — a sublane-dim-1 VMEM scratch aborts the
+    # Mosaic compiler, so 8 sublanes are stored and only the edge row used
+    hv = h_ref[...].astype(jnp.float32)
+    h0 = hv[:, 0:1, :] if reverse else hv[:, 7:8, :]  # (N, 1, Dt)
+    h_all = a * h0 + b  # (N, chunk, Dt)
+    y = y + jnp.sum(C_blk * h_all, axis=0)
+    h_ref[...] = h_all[:, :8, :] if reverse else h_all[:, chunk - 8 :, :]
+
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_pallas_fwd_ld(BT, L, dim, N, G, chunk, d_tile, softplus,
+                         interpret, out_dtype_name, reverse=False):
+    out_dtype = jnp.dtype(out_dtype_name)
+    n_chunks = L // chunk
+    n_dtiles = dim // d_tile
+    dg_tiles = (dim // G) // d_tile  # d-tiles per group
+
+    grid = (BT, n_dtiles, n_chunks)
+    kernel = functools.partial(
+        _scan_kernel_ld, nstate=N, chunk=chunk, softplus=softplus,
+        reverse=reverse,
+    )
+    flops = 9 * BT * L * dim * N
+    cix = (lambda c: n_chunks - 1 - c) if reverse else (lambda c: c)
+
+    def fwd(u, d, A, B4, C4, Dskip, bias):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, chunk, d_tile), lambda b, dt, c: (b, cix(c), dt)
+                ),
+                pl.BlockSpec(
+                    (1, chunk, d_tile), lambda b, dt, c: (b, cix(c), dt)
+                ),
+                pl.BlockSpec((N, 1, d_tile), lambda b, dt, c: (0, 0, dt)),
+                pl.BlockSpec(
+                    (1, 1, N, chunk, 1),
+                    lambda b, dt, c: (b, dt // dg_tiles, 0, cix(c), 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, N, chunk, 1),
+                    lambda b, dt, c: (b, dt // dg_tiles, 0, cix(c), 0),
+                ),
+                pl.BlockSpec((1, d_tile), lambda b, dt, c: (0, dt)),
+                pl.BlockSpec((1, d_tile), lambda b, dt, c: (0, dt)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, chunk, d_tile), lambda b, dt, c: (b, cix(c), dt)
+            ),
+            out_shape=jax.ShapeDtypeStruct((BT, L, dim), out_dtype),
+            scratch_shapes=[pltpu.VMEM((N, 8, d_tile), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=(2 * BT * L * dim + 2 * BT * L * G * N) * 4,
+                transcendentals=BT * L * dim * N,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(u, d, A, B4, C4, Dskip, bias)
+
+    return fwd
+
+
 def _pick_tiles(L, dim, G, N):
     """Choose (chunk, d_tile). The scan works on (N*d_tile, chunk) fp32
     stacks (~4 live: a, b and their shifted copies) plus a handful of
@@ -199,7 +321,7 @@ def _pick_tiles(L, dim, G, N):
             (c for c in (256, 192, 128, 96, 64, 48, 32, 16, 8) if dg % c == 0),
             default=dg,
         )
-    chunk = 2048
+    chunk = 1024
     budget = 32 * 1024 * 1024  # bytes
     while chunk > 8 and (4 * N + 8) * d_tile * chunk * 4 > budget:
         chunk //= 2
@@ -252,7 +374,11 @@ def selective_scan_dl(u, delta, A, B, C, Dskip, bias, *, softplus=True,
 
 def _scan_pallas_fwd_impl(u, delta, A, B, C, Dskip, bias, *, softplus,
                           interpret, reverse=False):
-    # channels-last API -> DL kernel layout
+    # channels-last API -> DL kernel layout. Measured on v5e: the lane-axis
+    # Hillis-Steele in (B, D, L) layout is ~2.3x faster per element than a
+    # sublane-axis scan in native (B, L, D) layout (see _scan_kernel_ld),
+    # and that gap dominates the three full-tensor transposes this adds —
+    # so DL stays the dispatch default.
     u_dl = jnp.swapaxes(u, 1, 2)
     d_dl = jnp.swapaxes(delta, 1, 2)
     B_dl = jnp.moveaxis(B, 1, 3)  # (BT, L, G, N) -> (BT, G, N, L)
