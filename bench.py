@@ -36,9 +36,15 @@ REPEATS = 3
 
 
 def main():
+    import os
+
     from vmambair_tpu.models import build_network
 
-    net = build_network(dict(type="MambaSISR6"))
+    dtype = jnp.bfloat16 if os.environ.get(
+        "VMAMBAIR_BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+    # bf16 activations / fp32 weights + fp32 scan state — the production
+    # inference posture (the reference's RealESRGANer offers fp16 half mode)
+    net = build_network(dict(type="MambaSISR6", dtype=dtype))
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (BATCH, TILE, TILE, 3), jnp.float32)
     params = jax.jit(net.init)(key, x[:1])
