@@ -206,3 +206,37 @@ def test_gaussian_denoising_dataset(tmp_path):
     assert s["gt"].shape == (32, 32, 3)
     noise = s["lq"] - s["gt"]
     assert 0 < np.std(noise) < 0.25
+
+
+def test_restoration_upscaler_paths():
+    """RealESRGANer-equivalent enhance(): whole-image, tiled, alpha
+    (`SRGAN/VmambaIR/utils.py:97-170,180+`)."""
+    import jax
+    import numpy as np
+
+    from vmambair_tpu.models import build_network
+    from vmambair_tpu.utils.upscaler import RestorationUpscaler
+
+    net = build_network(dict(type="SRVGGNetCompact", num_feat=8,
+                             num_conv=1, upscale=4))
+    x0 = jax.numpy.zeros((1, 8, 8, 3))
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x0)
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(20, 14, 3) * 255).astype(np.uint8)
+    up = RestorationUpscaler(4, net, params, tile=0, pre_pad=2, window=1)
+    out, mode = up.enhance(img)
+    assert out.shape == (80, 56, 3) and mode == "RGB"
+
+    up_t = RestorationUpscaler(4, net, params, tile=8, tile_pad=2,
+                               window=1, tile_batch=2)
+    out_t, _ = up_t.enhance(img)
+    assert out_t.shape == (80, 56, 3)
+
+    rgba = (rng.rand(12, 12, 4) * 255).astype(np.uint8)
+    out_a, mode_a = up_t.enhance(rgba)
+    assert out_a.shape == (48, 48, 4) and mode_a == "RGBA"
+
+    gray = (rng.rand(12, 12) * 255).astype(np.uint8)
+    out_g, mode_g = up_t.enhance(gray, outscale=2)
+    assert out_g.shape == (24, 24) and mode_g == "L"
