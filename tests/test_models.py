@@ -120,3 +120,31 @@ def test_param_count_mamba_sisr6():
         int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params)
     )
     assert 1e6 < n < 50e6, n
+
+
+def test_restormer_forward():
+    """Baseline Restormer (MDTA) arch kept for comparison
+    (`restormer_arch.py`)."""
+    from vmambair_tpu.models import Restormer
+
+    model = Restormer(dim=8, num_blocks=(1, 1, 1, 1),
+                      num_refinement_blocks=1, heads=(1, 1, 2, 2))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    y = jax.jit(model.apply)(params, x)
+    assert y.shape == (1, 16, 16, 3)
+    assert jnp.isfinite(y).all()
+
+
+def test_model_flops_cost_analysis():
+    """XLA cost-analysis FLOPs accounting (`utils/flops.py`), reference
+    protocol: report on a 64x64 input (`MambaSISR6_arch.py:667-668`)."""
+    from vmambair_tpu.models import OSSNet
+    from vmambair_tpu.utils.flops import model_flops, selective_scan_flops
+
+    net = OSSNet(scale=4, dim=8, num_blocks=(1, 1, 1, 1),
+                 num_refinement_blocks=1, scan_impl="xla")
+    out = model_flops(net, (1, 16, 16, 3))
+    assert out["params"] > 1e4
+    assert out["flops"] > 1e6
+    assert selective_scan_flops(1, 256, 16, 8) == 9 * 256 * 16 * 8 + 256 * 16

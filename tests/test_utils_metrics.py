@@ -240,3 +240,19 @@ def test_restoration_upscaler_paths():
     gray = (rng.rand(12, 12) * 255).astype(np.uint8)
     out_g, mode_g = up_t.enhance(gray, outscale=2)
     assert out_g.shape == (24, 24) and mode_g == "L"
+
+
+def test_fid_frechet_distance():
+    import numpy as np
+
+    from vmambair_tpu.metrics.fid import calculate_fid, compute_statistics
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(500, 16)
+    mu1, s1 = compute_statistics(a)
+    assert calculate_fid(mu1, s1, mu1, s1) < 1e-6
+    b = rng.randn(500, 16) * 2.0 + 1.0
+    mu2, s2 = compute_statistics(b)
+    close = calculate_fid(mu1, s1, *compute_statistics(a + 0.01))
+    far = calculate_fid(mu1, s1, mu2, s2)
+    assert 0 <= close < far

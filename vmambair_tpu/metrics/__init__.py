@@ -9,6 +9,7 @@ from .psnr_ssim import calculate_psnr, calculate_ssim
 from .lpips import calculate_lpips
 from .dists import calculate_dists
 from .niqe import calculate_niqe
+from .fid import calculate_fid, compute_statistics, extract_vgg_features
 
 
 def calculate_metric(opt: dict, *args):
@@ -26,5 +27,6 @@ __all__ = [
     "calculate_lpips",
     "calculate_dists",
     "calculate_niqe",
+    "calculate_fid",
     "METRIC_REGISTRY",
 ]

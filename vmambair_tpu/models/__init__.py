@@ -13,11 +13,13 @@ from .layers import LayerNorm2d, FeedForward, Conv2d
 from .oss import OSS, SpatialScan, ChannelScan
 from .unet import OSSNet, MamberBlock
 from .discriminator import UNetDiscriminatorSN
+from .restormer import Restormer, RestormerBlock, MDTA
 from .srvgg import SRVGGNetCompact
 
 ARCH_REGISTRY.register(OSSNet)
 ARCH_REGISTRY.register(UNetDiscriminatorSN)
 ARCH_REGISTRY.register(SRVGGNetCompact)
+ARCH_REGISTRY.register(Restormer)
 
 
 @ARCH_REGISTRY.register(name="MambaSISR6")
@@ -111,6 +113,7 @@ def build_network(opt: dict):
 
 __all__ = [
     "OSSNet",
+    "Restormer",
     "MamberBlock",
     "OSS",
     "SpatialScan",
