@@ -256,3 +256,29 @@ def test_fid_frechet_distance():
     close = calculate_fid(mu1, s1, *compute_statistics(a + 0.01))
     far = calculate_fid(mu1, s1, mu2, s2)
     assert 0 <= close < far
+
+
+def test_perceptual_loss_grad():
+    """VGG19 perceptual loss: finite value + nonzero gradient signal
+    (GAN stage dependency, `MambaSISR15GAN_x4.yml:110-132`)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vmambair_tpu.losses import PerceptualLoss
+
+    loss = PerceptualLoss(
+        layer_weights={"conv1_2": 0.1, "conv2_2": 0.1, "conv3_4": 1.0},
+        perceptual_weight=1.0, style_weight=0.1,
+    )
+    rng = np.random.RandomState(0)
+    pred = jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32)
+    target = jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32)
+
+    def f(p):
+        l_p, l_s = loss(p, target)
+        return l_p + l_s
+
+    val, grad = jax.value_and_grad(f)(pred)
+    assert np.isfinite(float(val)) and float(val) > 0
+    assert float(jnp.sum(jnp.abs(grad))) > 0
