@@ -206,3 +206,41 @@ def test_sr_model_train_and_resume(tmp_path):
     m2.lq = jnp.asarray(m2.lq)
     m2.test()
     assert m2.output.shape == (1, 13, 17, 3)
+
+
+def test_mixup_wiring_and_training(tmp_path):
+    """Deraining-style nested `mixing_augs.mixup` enables mixup in the
+    train step (`image_restoration_model.py:22-49,86-91`)."""
+    import numpy as np
+
+    from vmambair_tpu.train import build_model
+
+    opt = {
+        "name": "t_mix", "model_type": "ImageCleanModel", "is_train": True,
+        "scale": 1, "num_gpu": 2, "manual_seed": 0,
+        "network_g": {"type": "OSSNet", "scale": 1,
+                      "tail": "conv_residual", "dim": 8,
+                      "num_blocks": [1, 1, 1, 1],
+                      "num_refinement_blocks": 1, "scan_impl": "xla"},
+        "path": {"models": str(tmp_path), "training_states": str(tmp_path)},
+        "train": {
+            "total_iter": 2, "ema_decay": 0.999,
+            "mixing_augs": {"mixup": True, "mixup_beta": 1.2},
+            "optim_g": {"type": "AdamW", "lr": 3e-4,
+                        "weight_decay": 1e-4, "betas": [0.9, 0.999]},
+            "scheduler": {"type": "CosineAnnealingRestartCyclicLR",
+                          "periods": [10, 10], "restart_weights": [1, 1],
+                          "eta_mins": [3e-4, 1e-6]},
+            "use_grad_clip": True, "grad_clip": 0.01,
+            "pixel_opt": {"type": "L1Loss"},
+        },
+        "val": {"window_size": 8},
+    }
+    m = build_model(opt)
+    assert m.mixup is True
+    rng = np.random.RandomState(0)
+    batch = {"lq": rng.rand(2, 16, 16, 3).astype(np.float32),
+             "gt": rng.rand(2, 16, 16, 3).astype(np.float32)}
+    m.feed_data(batch)
+    m.optimize_parameters(1)
+    assert np.isfinite(m.log_dict["l_pix"])

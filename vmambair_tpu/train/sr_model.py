@@ -86,7 +86,13 @@ class SRModel(BaseModel):
         self.ema_decay = float(train_opt.get("ema_decay", 0))
         if self.ema_decay > 0:
             self.params_ema = jax.tree_util.tree_map(jnp.copy, self.params)
-        self.mixup = bool(train_opt.get("mixup", False))
+        # deraining YAML nests this under mixing_augs
+        # (`Deraining_mamber33.yml:86-89`, `image_restoration_model.py:86-91`)
+        mixing = train_opt.get("mixing_augs") or {}
+        self.mixup = bool(
+            train_opt.get("mixup", mixing.get("mixup", False))
+        )
+        self.mixup_beta = float(mixing.get("mixup_beta", 1.2))
 
         pixel_type = train_opt.get("pixel_opt")
         self.cri_pix = build_loss(dict(pixel_type)) if pixel_type else None
@@ -130,11 +136,12 @@ class SRModel(BaseModel):
     def _build_train_step(self):
         ema_decay = self.ema_decay
         mixup = self.mixup
+        mixup_beta = getattr(self, "mixup_beta", 1.2)
 
         def step(params, params_ema, opt_state, lq, gt, lr, rng):
             if mixup:
                 rng, k = jax.random.split(rng)
-                lq, gt = mixup_batch(k, lq, gt)
+                lq, gt = mixup_batch(k, lq, gt, mixup_beta)
 
             def loss_fn(p):
                 return self._loss_terms(p, lq, gt)
