@@ -244,3 +244,36 @@ def test_mixup_wiring_and_training(tmp_path):
     m.feed_data(batch)
     m.optimize_parameters(1)
     assert np.isfinite(m.log_dict["l_pix"])
+
+
+def test_tiled_inference_matches_whole(tmp_path):
+    """val.tile chop inference == whole-image forward for a conv-only net
+    (seam-free merge; `MambaSISR2_model.py:99-195`)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vmambair_tpu.train import build_model
+
+    opt = {
+        "name": "t_tile", "model_type": "SRModel", "is_train": False,
+        "scale": 4, "num_gpu": 1, "manual_seed": 0,
+        "network_g": {"type": "SRVGGNetCompact", "num_feat": 8,
+                      "num_conv": 1, "upscale": 4},
+        "path": {},
+        "val": {"window_size": 1},
+    }
+    m = build_model(opt)
+    rng = np.random.RandomState(0)
+    m.lq = jnp.asarray(rng.rand(1, 24, 16, 3), jnp.float32)
+    m.test()
+    whole = np.asarray(m.output)
+    m.opt["val"]["tile"] = 8
+    m.opt["val"]["tile_pad"] = 4
+    m.test()
+    tiled = np.asarray(m.output)
+    assert whole.shape == tiled.shape == (1, 96, 64, 3)
+    # interior matches tightly; borders may differ by padding policy
+    np.testing.assert_allclose(
+        whole[:, 16:-16, 16:-16], tiled[:, 16:-16, 16:-16],
+        rtol=1e-4, atol=1e-4,
+    )

@@ -198,8 +198,13 @@ class SRModel(BaseModel):
         return jax.jit(self.net_g.apply)
 
     def test(self):
-        """Pad-to-window forward + crop back
-        (`MambaSISR_model.py:87-118`)."""
+        """Pad-to-window forward + crop back (`MambaSISR_model.py:87-118`).
+        YAML `val.tile` switches to fixed-tile chop inference (the
+        MambaSISRModel2 behavior, `MambaSISR2_model.py:99-195`)."""
+        val_opt = self.opt.get("val") or {}
+        tile = int(val_opt.get("tile", 0) or 0)
+        if tile:
+            return self.test_tiled(tile, int(val_opt.get("tile_pad", 0)))
         lq = self.lq
         b, h, w, c = lq.shape
         ws = self.window_size
