@@ -38,9 +38,19 @@ def main():
         help="pad-to-multiple window; default 32/16/8 by scale "
         "(`RealSR/inference.py:19-33`)",
     )
+    parser.add_argument(
+        "--network_opt", type=str, default=None,
+        help='JSON kwargs for the arch, e.g. \'{"dim": 48, '
+        '"num_blocks": [15,1,1,1]}\'',
+    )
     args = parser.parse_args()
 
     window = args.window or {1: 8, 2: 16, 4: 8}.get(args.scale, 8)
+    network_g = {"type": args.arch, "scale": args.scale}
+    if args.network_opt:
+        import json
+
+        network_g.update(json.loads(args.network_opt))
     opt = {
         "name": "inference",
         "model_type": "SRModel",
@@ -48,7 +58,7 @@ def main():
         "scale": args.scale,
         "num_gpu": 1,
         "manual_seed": 0,
-        "network_g": {"type": args.arch, "scale": args.scale},
+        "network_g": network_g,
         "path": {"pretrain_network_g": args.model_path,
                  "param_key_g": "params_ema"},
         "val": {"window_size": window},
@@ -70,7 +80,7 @@ def main():
             model.test_tiled(args.tile, args.tile_pad)
         else:
             model.test()
-        out = batch2img(np.asarray(model.output))
+        out = batch2img(np.asarray(model.output)[0])
         imwrite(out, os.path.join(args.output, f"{name}_out.png"))
 
 
