@@ -277,3 +277,104 @@ def test_tiled_inference_matches_whole(tmp_path):
         whole[:, 16:-16, 16:-16], tiled[:, 16:-16, 16:-16],
         rtol=1e-4, atol=1e-4,
     )
+
+
+def _write_paired_fixtures(root, n=4, size=16):
+    from vmambair_tpu.utils.img_util import imwrite
+
+    rng = np.random.RandomState(3)
+    gt_dir = os.path.join(root, "gt")
+    lq_dir = os.path.join(root, "lq")
+    for d in (gt_dir, lq_dir):
+        os.makedirs(d, exist_ok=True)
+    for i in range(n):
+        img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+        imwrite(img, os.path.join(gt_dir, f"img{i}.png"))
+        imwrite(img, os.path.join(lq_dir, f"img{i}.png"))
+    return gt_dir, lq_dir
+
+
+def _tiny_pipeline_opt(tmp_path, gt_dir, lq_dir, total_iter):
+    exp = os.path.join(str(tmp_path), "exp")
+    return {
+        "name": "t_resume", "model_type": "SRModel", "is_train": True,
+        "scale": 1, "num_gpu": 2, "manual_seed": 0, "auto_resume": True,
+        "network_g": {"type": "OSSNet", "scale": 1,
+                      "tail": "conv_residual", "dim": 8,
+                      "num_blocks": [1, 1, 1, 1],
+                      "num_refinement_blocks": 1, "scan_impl": "xla"},
+        "datasets": {"train": {
+            "name": "t", "type": "PairedImageDataset", "phase": "train",
+            "scale": 1, "dataroot_gt": gt_dir, "dataroot_lq": lq_dir,
+            "gt_size": 16, "use_hflip": False, "use_rot": False,
+            "io_backend": {"type": "disk"}, "batch_size_per_gpu": 1,
+            "num_worker_per_gpu": 1, "dataset_enlarge_ratio": 1,
+        }},
+        "path": {
+            "experiments_root": exp,
+            "models": os.path.join(exp, "models"),
+            "training_states": os.path.join(exp, "training_states"),
+            "log": exp,
+            "visualization": os.path.join(exp, "visualization"),
+        },
+        "train": {
+            "total_iter": total_iter, "ema_decay": 0.999,
+            "optim_g": {"type": "Adam", "lr": 1e-3, "betas": [0.9, 0.99]},
+            "scheduler": {"type": "MultiStepRestartLR",
+                          "milestones": [1000], "gamma": 0.5},
+            "pixel_opt": {"type": "L1Loss"},
+        },
+        "logger": {"print_freq": 1000, "save_checkpoint_freq": 1000},
+        "val": {"window_size": 8},
+    }
+
+
+def test_pipeline_auto_resume_restores_generator(tmp_path):
+    """End-to-end auto-resume: a resumed pipeline must rebuild the model FROM
+    the saved net_g ckpt (check_resume before build_model, reference
+    `train.py:150`), not from fresh random init — regression test for the
+    round-1 bug where only opt_state/EMA were restored."""
+    import jax
+
+    from vmambair_tpu.train.checkpoint import load_network
+    from vmambair_tpu.train.pipeline import train_pipeline
+
+    gt_dir, lq_dir = _write_paired_fixtures(str(tmp_path))
+    opt1 = _tiny_pipeline_opt(tmp_path, gt_dir, lq_dir, total_iter=2)
+    m1 = train_pipeline(str(tmp_path), opt=dict(opt1))
+    ckpt = os.path.join(opt1["path"]["models"], "net_g_2.ckpt")
+    state = os.path.join(opt1["path"]["training_states"], "2.state")
+    assert os.path.exists(ckpt) and os.path.exists(state)
+
+    # resume with the same total_iter: zero extra steps, so the returned
+    # model's params must EQUAL the checkpoint exactly
+    opt2 = _tiny_pipeline_opt(tmp_path, gt_dir, lq_dir, total_iter=2)
+    m2 = train_pipeline(str(tmp_path), opt=opt2)
+    saved = load_network(ckpt, jax.tree_util.tree_map(np.asarray, m2.params))
+    for a, b in zip(jax.tree_util.tree_leaves(m2.params),
+                    jax.tree_util.tree_leaves(saved)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state restored too (not fresh zeros)
+    mu = jax.tree_util.tree_leaves(m2.opt_state)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in mu)
+
+
+def test_train_loader_batch_scales_with_devices(tmp_path):
+    """Global train batch = batch_size_per_gpu x resolved device count
+    (reference recipe: 8/GPU x 8 DDP procs = 64, `MambaSISR15_x4.yml:30` +
+    `train_S1.sh`) — `num_gpu: auto` must resolve to the mesh size."""
+    import jax
+
+    from vmambair_tpu.train.pipeline import create_train_val_dataloaders
+
+    gt_dir, lq_dir = _write_paired_fixtures(str(tmp_path), n=8)
+    opt = _tiny_pipeline_opt(tmp_path, gt_dir, lq_dir, total_iter=2)
+    opt["num_gpu"] = "auto"
+    opt["datasets"]["train"]["batch_size_per_gpu"] = 2
+    opt["datasets"]["train"]["dataset_enlarge_ratio"] = 4
+    train_loader, _ = create_train_val_dataloaders(opt)
+    n_dev = len(jax.devices())
+    assert n_dev == 8  # virtual CPU mesh from conftest
+    assert train_loader.batch_size == 2 * n_dev
+    batch = next(iter(train_loader))
+    assert batch["lq"].shape[0] == 2 * n_dev

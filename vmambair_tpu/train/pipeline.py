@@ -39,13 +39,27 @@ from . import build_model
 logger = logging.getLogger("vmambair_tpu")
 
 
+def resolve_num_gpu(opt: Dict[str, Any]) -> int:
+    """Resolve the reference's top-level `num_gpu` (int / "auto" / absent) to
+    the actual data-parallel device count. The reference launches N DDP procs
+    (`SRGAN/train_S1.sh`) so global batch = batch_size_per_gpu x N; under a
+    single-controller mesh the multiplier must come from the mesh size, not
+    default to 1 — otherwise recipe global batch 64 silently becomes 8."""
+    import jax
+
+    n_dev = opt.get("num_gpu")
+    if n_dev in (None, "auto", 0):
+        n_dev = len(jax.devices())
+    return int(n_dev)
+
+
 def create_train_val_dataloaders(opt: Dict[str, Any]):
     train_loader, val_loaders = None, []
     total_iters = int(opt["train"]["total_iter"])
     for phase, dataset_opt in (opt.get("datasets") or {}).items():
         if phase == "train":
             dataset_opt = dict(dataset_opt)
-            dataset_opt.setdefault("num_gpu", 1)
+            dataset_opt.setdefault("num_gpu", resolve_num_gpu(opt))
             train_set = build_dataset(dataset_opt)
             train_loader, _ = build_dataloader(
                 train_set, dataset_opt, seed=opt["manual_seed"]
@@ -125,13 +139,23 @@ def train_pipeline(root_path: str, opt: Optional[Dict[str, Any]] = None,
     init_distributed()
     set_random_seed(int(opt["manual_seed"]))
 
-    # auto-resume (`train.py:138-150`)
+    # auto-resume (`train.py:138-150`): resolve the state path and rewire
+    # pretrain_network_* to the paired net ckpts BEFORE the model is built —
+    # the reference calls check_resume before create_model (`train.py:150` ->
+    # `misc.py:137`); doing it after would leave the generator at random init
+    # while only optimizer/EMA state gets restored.
     resume_state_path = (opt.get("path") or {}).get("resume_state")
     if opt.get("auto_resume") and not resume_state_path:
         resume_state_path = find_latest_state(
             opt["path"]["training_states"]
         )
-    if not resume_state_path:
+    if resume_state_path:
+        opt.setdefault("path", {})["resume_state"] = resume_state_path
+        resume_iter = int(
+            os.path.splitext(os.path.basename(resume_state_path))[0]
+        )
+        check_resume(opt, resume_iter)
+    else:
         make_exp_dirs(opt)
 
     log_file = os.path.join(
@@ -155,7 +179,6 @@ def train_pipeline(root_path: str, opt: Optional[Dict[str, Any]] = None,
     if resume_state_path:
         rs = model.resume_training(resume_state_path)
         start_epoch, current_iter = rs["epoch"], rs["iter"]
-        check_resume(opt, current_iter)
         logger.info(
             "Resuming training from epoch %d, iter %d.",
             start_epoch, current_iter,
