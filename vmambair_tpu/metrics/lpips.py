@@ -2,9 +2,12 @@
 
 Rebuilds the reference's LPIPS metric CLI dependency
 (`/root/reference/SRGAN/Metric/LPIPS.py:11-43`: lpips.LPIPS(net='vgg'),
-inputs normalized to [-1, 1]). Architecture: VGG16/19 features at the 5
-relu-block outputs, unit-normalized over channels, squared difference,
-1x1 linear heads, spatial mean, sum over layers.
+inputs normalized to [-1, 1]). Architecture: VGG16 features at the 5
+relu-block outputs (conv1_2/2_2/3_3/4_3/5_3, like upstream lpips),
+unit-normalized over channels, squared difference, 1x1 linear heads,
+spatial mean, sum over layers. The ImageNet normalization on [0,1] inputs
+is algebraically identical to lpips's ScalingLayer on [-1,1] inputs
+(shift = 2*mean - 1, scale = 2*std).
 
 Pretrained weights (VGG backbone + linear heads) cannot be downloaded here
 (zero egress); supply `weights_path` as .npz with `conv{i}_{j}/kernel|bias`
@@ -25,18 +28,20 @@ import numpy as np
 from ..losses.perceptual import (
     IMAGENET_MEAN,
     IMAGENET_STD,
+    VGG16_LAYERS,
     _init_vgg_params,
-    vgg19_features,
+    vgg_features,
 )
 from ..utils.registry import METRIC_REGISTRY
 
-_LPIPS_LAYERS = ["conv1_2", "conv2_2", "conv3_4", "conv4_4", "conv5_4"]
+# upstream lpips net='vgg' is VGG16: relu outputs of the 5 blocks
+_LPIPS_LAYERS = ["conv1_2", "conv2_2", "conv3_3", "conv4_3", "conv5_3"]
 
 
 class LPIPS:
     def __init__(self, weights_path: Optional[str] = None, seed: int = 0):
         self.params, self.is_pretrained = _init_vgg_params(
-            weights_path, seed
+            weights_path, seed, plan=VGG16_LAYERS
         )
         self.lins = {}
         if weights_path:
@@ -58,10 +63,10 @@ class LPIPS:
             # ImageNet stats matches the vgg backbone convention
             return (im - IMAGENET_MEAN) / IMAGENET_STD
 
-        f1 = vgg19_features(prep(img1), self.params, _LPIPS_LAYERS, False,
-                            False)
-        f2 = vgg19_features(prep(img2), self.params, _LPIPS_LAYERS, False,
-                            False)
+        f1 = vgg_features(prep(img1), self.params, _LPIPS_LAYERS, False,
+                          False, plan=VGG16_LAYERS)
+        f2 = vgg_features(prep(img2), self.params, _LPIPS_LAYERS, False,
+                          False, plan=VGG16_LAYERS)
         total = 0.0
         for name in _LPIPS_LAYERS:
             a = f1[name]

@@ -175,20 +175,50 @@ def add_gaussian_noise(key, img, sigma, gray_prob_draw):
     return jnp.clip(img + noise, 0.0, 1.0)
 
 
+def _poisson_levels(img_q):
+    """Per-image photon levels: 2^ceil(log2(#unique 8-bit values)) — the
+    exact basicsr rule (`generate_poisson_noise_pt`: round to 255 levels,
+    count unique values per sample). Unique counting is jit-hostile; a
+    256-bin histogram of the quantized image gives the identical count with
+    static shapes.
+
+    img_q: (B, ...) integer-quantized image in [0, 255]. Returns (B,) fp32.
+    """
+    b = img_q.shape[0]
+    hist = jax.vmap(
+        lambda x: jnp.bincount(x.reshape(-1), length=256)
+    )(img_q.reshape(b, -1))
+    nuniq = jnp.sum(hist > 0, axis=1).astype(jnp.float32)
+    return 2.0 ** jnp.ceil(jnp.log2(nuniq))
+
+
+def _rgb_to_gray(img):
+    # torchvision rgb_to_grayscale weights (basicsr's gray poisson path)
+    w = jnp.asarray([0.299, 0.587, 0.114], img.dtype)
+    return jnp.sum(img * w, axis=-1, keepdims=True)
+
+
 def add_poisson_noise(key, img, scale, gray_prob_draw):
-    """Poisson (shot) noise: quantize to the implied photon count, sample.
-    scale: (B,) noise strength (basicsr `random_add_poisson_noise_pt`)."""
-    b, h, w, c = img.shape
+    """Poisson (shot) noise with the reference's per-image level rule
+    (basicsr `random_add_poisson_noise_pt` / `generate_poisson_noise_pt`):
+    quantize to 8-bit, levels = 2^ceil(log2(#unique values per image)),
+    noise = poisson(q * levels)/levels - q. scale: (B,) noise strength."""
     k1, k2 = jax.random.split(key)
-    img_c = jnp.clip(img, 0, 1)
-    # per-sample unique-value count heuristic from basicsr: use 2^ceil(log2
-    # levels) with levels from rounded image; approximate with a fixed 256
-    vals = 256.0
+    img_c = jnp.clip((img * 255.0).round(), 0, 255) / 255.0
+    vq = jnp.round(img_c * 255.0).astype(jnp.int32)
+    vals = _poisson_levels(vq)[:, None, None, None]
     out = jax.random.poisson(k1, img_c * vals) / vals
     noise = out - img_c
-    gray_img = jnp.mean(img_c, axis=-1, keepdims=True)
-    out_g = jax.random.poisson(k2, gray_img * vals) / vals
+
+    gray_img = jnp.clip(
+        (_rgb_to_gray(img) * 255.0).round(), 0, 255
+    ) / 255.0
+    vals_g = _poisson_levels(
+        jnp.round(gray_img * 255.0).astype(jnp.int32)
+    )[:, None, None, None]
+    out_g = jax.random.poisson(k2, gray_img * vals_g) / vals_g
     noise_g = jnp.broadcast_to(out_g - gray_img, img.shape)
+
     noise = jnp.where(gray_prob_draw[:, None, None, None], noise_g, noise)
     return jnp.clip(img + noise * scale[:, None, None, None], 0.0, 1.0)
 
