@@ -224,3 +224,79 @@ def test_reverse_scan_gradients():
     for a, b, name in zip(g_new, g_ref,
                           ["u", "delta", "A", "B", "C", "D", "bias"]):
         check_close(a, b, jnp.float32, f"grad {name}", scale=5.0)
+
+
+# ---------------------------------------------------------------- fused op
+
+def _fused_inputs(key, b, L, G, d, N, R, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+    u2 = jax.random.normal(ks[0], (b, L, G, d), dtype)
+    xw = jax.random.normal(ks[1], (G, R + 2 * N, d), jnp.float32) * 0.3
+    dw = jax.random.normal(ks[2], (G, d, R), jnp.float32) * 0.3
+    db = 0.1 * jax.random.normal(ks[3], (G, d), jnp.float32)
+    A = -0.5 - jnp.exp(
+        jax.random.normal(ks[4], (G, d, N), jnp.float32) * 0.5
+    )
+    Ds = jax.random.normal(ks[5], (G, d), jnp.float32)
+    return u2, xw, dw, db, A, Ds
+
+
+def _fused_composite(u2, xw, dw, db, A, Ds, reverse):
+    """The einsum chain + sequential scan the fused kernel replaces."""
+    b, L, G, d = u2.shape
+    N = A.shape[2]
+    R = dw.shape[2]
+    x_dbl = jnp.einsum("blgd,gcd->blgc", u2, xw)
+    dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+    dts = jnp.einsum("blgr,gdr->blgd", dts, dw)
+    u = u2.reshape(b, L, G * d)
+    delta = dts.reshape(b, L, G * d)
+    if reverse:
+        u, delta = jnp.flip(u, 1), jnp.flip(delta, 1)
+        Bs, Cs = jnp.flip(Bs, 1), jnp.flip(Cs, 1)
+    y = selective_scan_seq(
+        u, delta, A.reshape(G * d, N), Bs, Cs, Ds.reshape(-1),
+        db.reshape(-1), True,
+    )
+    if reverse:
+        y = jnp.flip(y, 1)
+    return y.reshape(b, L, G, d)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("L,d,N,R", [(64, 16, 4, 2), (128, 8, 16, 3)])
+def test_fused_scan_forward_parity(reverse, L, d, N, R):
+    from vmambair_tpu.ops.pallas_scan import oss_scan_fused
+
+    args = _fused_inputs(jax.random.PRNGKey(11), 2, L, 2, d, N, R)
+    y = oss_scan_fused(*args, reverse=reverse, interpret=True)
+    y_ref = _fused_composite(*args, reverse=reverse)
+    check_close(y, y_ref, jnp.float32, f"fused fwd reverse={reverse}")
+
+
+def test_fused_scan_gradients():
+    from vmambair_tpu.ops.pallas_scan import oss_scan_fused
+
+    args = _fused_inputs(jax.random.PRNGKey(13), 1, 64, 2, 8, 4, 2)
+
+    def loss(fn):
+        def f(*a):
+            y = fn(*a)
+            return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape)))
+        return jax.grad(f, argnums=tuple(range(6)))(*args)
+
+    g_new = loss(lambda *a: oss_scan_fused(*a, reverse=True, interpret=True))
+    g_ref = loss(lambda *a: _fused_composite(*a, reverse=True))
+    for a, b, name in zip(g_new, g_ref,
+                          ["u2", "xw", "dw", "db", "A", "Ds"]):
+        check_close(a, b, jnp.float32, f"fused grad {name}", scale=5.0)
+
+
+def test_fused_scan_nblock_parity():
+    """N=32 exercises the MAX_N_STACK state-blocking path."""
+    from vmambair_tpu.ops.pallas_scan import oss_scan_fused
+
+    args = _fused_inputs(jax.random.PRNGKey(17), 1, 64, 2, 8, 32, 2)
+    y = oss_scan_fused(*args, interpret=True)
+    y_ref = _fused_composite(*args, reverse=False)
+    check_close(y, y_ref, jnp.float32, "fused N=32")

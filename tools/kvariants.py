@@ -1,0 +1,490 @@
+#!/usr/bin/env python
+"""Scan-kernel variant race on the real chip.
+
+Each variant is a (D, L)-layout selective-scan forward with the same
+signature as `_scan_kernel` in vmambair_tpu/ops/pallas_scan.py. Parity is
+checked against selective_scan_xla before timing.
+
+Usage: python tools/kvariants.py [v0 v1_128 v3 ...]
+"""
+
+import argparse
+import functools
+import json
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B, L, D, G, N = 8, 16384, 96, 2, 16  # hot level-1 decoder shape
+DIM = G * D
+CHUNK = 1024
+ITERS = 9
+REPEATS = 3
+
+
+def _softplus(x):
+    return jnp.where(x > 20.0, x, jnp.log1p(jnp.exp(jnp.minimum(x, 20.0))))
+
+
+def _prologue(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref):
+    d = d_ref[0].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    d = _softplus(d)
+    u = u_ref[0].astype(jnp.float32)
+    du = d * u
+    y0 = Dskip_ref[...].astype(jnp.float32) * u
+    B_blk = B_ref[0, 0].astype(jnp.float32)
+    C_blk = C_ref[0, 0].astype(jnp.float32)
+    A_t = A_ref[...].astype(jnp.float32)
+    return d, du, y0, B_blk, C_blk, A_t
+
+
+# ---------------------------------------------------------------- variants
+
+def kernel_v0(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+              y_ref, h_ref, *, nstate, chunk):
+    """Round-1 kernel: full-chunk Hillis-Steele on (a,b) pairs."""
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    d, du, y, B_blk, C_blk, A_t = _prologue(
+        u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref)
+    dt = d.shape[0]
+    a = jnp.exp(d[None] * A_t)
+    b = du[None] * B_blk[:, None, :]
+    for s in range(int(math.log2(chunk))):
+        k = 1 << s
+        ident_a = jnp.ones((nstate, dt, k), jnp.float32)
+        ident_b = jnp.zeros((nstate, dt, k), jnp.float32)
+        a_prev = jnp.concatenate([ident_a, a[:, :, :-k]], axis=2)
+        b_prev = jnp.concatenate([ident_b, b[:, :, :-k]], axis=2)
+        b = a * b_prev + b
+        a = a * a_prev
+    h0 = h_ref[...].astype(jnp.float32)
+    h_all = a * h0 + b
+    y = y + jnp.sum(C_blk[:, None, :] * h_all, axis=0)
+    h_ref[...] = h_all[:, :, chunk - 1 : chunk]
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def kernel_v1(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+              y_ref, h_ref, *, nstate, chunk, sub):
+    """Subchunk-sequential: Hillis within `sub`-lane subchunks, sequential
+    carry across subchunks inside the body (python-unrolled)."""
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    d, du, y, B_blk, C_blk, A_t = _prologue(
+        u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref)
+    dt = d.shape[0]
+    a = jnp.exp(d[None] * A_t)
+    b = du[None] * B_blk[:, None, :]
+    carry = h_ref[...].astype(jnp.float32)  # (N, Dt, 1)
+    hs = []
+    for i in range(chunk // sub):
+        sl = slice(i * sub, (i + 1) * sub)
+        a_i, b_i = a[:, :, sl], b[:, :, sl]
+        for s in range(int(math.log2(sub))):
+            k = 1 << s
+            ident_a = jnp.ones((nstate, dt, k), jnp.float32)
+            ident_b = jnp.zeros((nstate, dt, k), jnp.float32)
+            a_prev = jnp.concatenate([ident_a, a_i[:, :, :-k]], axis=2)
+            b_prev = jnp.concatenate([ident_b, b_i[:, :, :-k]], axis=2)
+            b_i = a_i * b_prev + b_i
+            a_i = a_i * a_prev
+        h_i = a_i * carry + b_i
+        carry = h_i[:, :, -1:]
+        hs.append(h_i)
+    h_all = jnp.concatenate(hs, axis=2)
+    y = y + jnp.sum(C_blk[:, None, :] * h_all, axis=0)
+    h_ref[...] = carry
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def kernel_v3(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+              y_ref, h_ref, *, nstate, chunk):
+    """bf16 (a, b) stacks (fp32 carry + prologue/epilogue)."""
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    d, du, y, B_blk, C_blk, A_t = _prologue(
+        u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref)
+    dt = d.shape[0]
+    a = jnp.exp(d[None] * A_t).astype(jnp.bfloat16)
+    b = (du[None] * B_blk[:, None, :]).astype(jnp.bfloat16)
+    for s in range(int(math.log2(chunk))):
+        k = 1 << s
+        ident_a = jnp.ones((nstate, dt, k), jnp.bfloat16)
+        ident_b = jnp.zeros((nstate, dt, k), jnp.bfloat16)
+        a_prev = jnp.concatenate([ident_a, a[:, :, :-k]], axis=2)
+        b_prev = jnp.concatenate([ident_b, b[:, :, :-k]], axis=2)
+        b = a * b_prev + b
+        a = a * a_prev
+    h0 = h_ref[...].astype(jnp.float32)
+    h_all = a.astype(jnp.float32) * h0 + b.astype(jnp.float32)
+    y = y + jnp.sum(C_blk[:, None, :] * h_all, axis=0)
+    h_ref[...] = h_all[:, :, chunk - 1 : chunk]
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def kernel_v4(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+              y_ref, h_ref, *, nstate, chunk, sub):
+    """Cumsum formulation within subchunks: P = exp(A cumsum d); w-scan is a
+    plain cumulative sum. Sequential (P_edge, h) carry across subchunks."""
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    d, du, y, B_blk, C_blk, A_t = _prologue(
+        u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref)
+    dt = d.shape[0]
+    duB = du[None] * B_blk[:, None, :]  # (N, Dt, chunk)
+    carry = h_ref[...].astype(jnp.float32)
+    hs = []
+    for i in range(chunk // sub):
+        sl = slice(i * sub, (i + 1) * sub)
+        d_i = d[:, sl]
+        # cumsum of d within subchunk: Hillis on (Dt, sub) -- N-fold cheaper
+        s_i = d_i
+        for s in range(int(math.log2(sub))):
+            k = 1 << s
+            s_i = s_i + jnp.concatenate(
+                [jnp.zeros((dt, k), jnp.float32), s_i[:, :-k]], axis=1)
+        E = A_t * s_i[None]              # (N, Dt, sub), <= 0 + noise
+        P = jnp.exp(E)
+        c_i = duB[:, :, sl] * jnp.exp(-E)
+        # cumulative sum of c_i along lanes
+        w = c_i
+        for s in range(int(math.log2(sub))):
+            k = 1 << s
+            w = w + jnp.concatenate(
+                [jnp.zeros((nstate, dt, k), jnp.float32), w[:, :, :-k]],
+                axis=2)
+        h_i = P * (w + carry)
+        carry = h_i[:, :, -1:]
+        hs.append(h_i)
+    h_all = jnp.concatenate(hs, axis=2)
+    y = y + jnp.sum(C_blk[:, None, :] * h_all, axis=0)
+    h_ref[...] = carry
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def kernel_v6(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+              y_ref, h_ref, *, nstate, chunk):
+    """roll + iota-mask shifts instead of concat."""
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    d, du, y, B_blk, C_blk, A_t = _prologue(
+        u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref)
+    dt = d.shape[0]
+    a = jnp.exp(d[None] * A_t)
+    b = du[None] * B_blk[:, None, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, dt, chunk), 2)
+    for s in range(int(math.log2(chunk))):
+        k = 1 << s
+        m = lane >= k
+        a_prev = jnp.where(m, pltpu.roll(a, k, axis=2), 1.0)
+        b_prev = jnp.where(m, pltpu.roll(b, k, axis=2), 0.0)
+        b = a * b_prev + b
+        a = a * a_prev
+    h0 = h_ref[...].astype(jnp.float32)
+    h_all = a * h0 + b
+    y = y + jnp.sum(C_blk[:, None, :] * h_all, axis=0)
+    h_ref[...] = h_all[:, :, chunk - 1 : chunk]
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def kernel_v8(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+              y_ref, h_ref, *, nstate, chunk):
+    """Log-domain a-chain: maintain window sums of delta (shared across N,
+    N-fold cheaper than the a-stack) and exponentiate in the combine.
+    exp(A * window-sum) is always in (0, 1] -- exact and overflow-safe."""
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    d, du, y, B_blk, C_blk, A_t = _prologue(
+        u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref)
+    dt = d.shape[0]
+    b = du[None] * B_blk[:, None, :]
+    sd = d  # (Dt, chunk) window-1 sums
+    for s in range(int(math.log2(chunk))):
+        k = 1 << s
+        e = jnp.exp(A_t * sd[None])  # a_k, in (0, 1]
+        b_prev = jnp.concatenate(
+            [jnp.zeros((nstate, dt, k), jnp.float32), b[:, :, :-k]], axis=2)
+        b = e * b_prev + b
+        # double the window (clipped at chunk start -> cumsum at the end)
+        sd = sd + jnp.concatenate(
+            [jnp.zeros((dt, k), jnp.float32), sd[:, :-k]], axis=1)
+    P = jnp.exp(A_t * sd[None])  # full prefix products (window clipped)
+    h0 = h_ref[...].astype(jnp.float32)
+    h_all = P * h0 + b
+    y = y + jnp.sum(C_blk[:, None, :] * h_all, axis=0)
+    h_ref[...] = h_all[:, :, chunk - 1 : chunk]
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def kernel_v8s(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+               y_ref, h_ref, *, nstate, chunk, sub):
+    """v8 within `sub`-lane subchunks + sequential carry across subchunks."""
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    d, du, y, B_blk, C_blk, A_t = _prologue(
+        u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref)
+    dt = d.shape[0]
+    b_full = du[None] * B_blk[:, None, :]
+    carry = h_ref[...].astype(jnp.float32)
+    hs = []
+    for i in range(chunk // sub):
+        sl = slice(i * sub, (i + 1) * sub)
+        b = b_full[:, :, sl]
+        sd = d[:, sl]
+        for s in range(int(math.log2(sub))):
+            k = 1 << s
+            e = jnp.exp(A_t * sd[None])
+            b_prev = jnp.concatenate(
+                [jnp.zeros((nstate, dt, k), jnp.float32), b[:, :, :-k]],
+                axis=2)
+            b = e * b_prev + b
+            sd = sd + jnp.concatenate(
+                [jnp.zeros((dt, k), jnp.float32), sd[:, :-k]], axis=1)
+        P = jnp.exp(A_t * sd[None])
+        h_i = P * carry + b
+        carry = h_i[:, :, -1:]
+        hs.append(h_i)
+    h_all = jnp.concatenate(hs, axis=2)
+    y = y + jnp.sum(C_blk[:, None, :] * h_all, axis=0)
+    h_ref[...] = carry
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def kernel_v9(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+              y_ref, h_ref, b0_ref, b1_ref, *, nstate, chunk):
+    """v8 + ping-pong VMEM scratch for the b-stack (no concat temps)."""
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    d, du, y, B_blk, C_blk, A_t = _prologue(
+        u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref)
+    b0_ref[...] = du[None] * B_blk[:, None, :]
+    sd = d
+    dt = d.shape[0]
+    src, dst = b0_ref, b1_ref
+    for s in range(int(math.log2(chunk))):
+        k = 1 << s
+        e = jnp.exp(A_t * sd[None])
+        dst[:, :, k:] = e[:, :, k:] * src[:, :, :-k] + src[:, :, k:]
+        dst[:, :, :k] = src[:, :, :k]
+        sd = sd + jnp.concatenate(
+            [jnp.zeros((dt, k), jnp.float32), sd[:, :-k]], axis=1)
+        src, dst = dst, src
+    P = jnp.exp(A_t * sd[None])
+    h0 = h_ref[...].astype(jnp.float32)
+    h_all = P * h0 + src[...]
+    y = y + jnp.sum(C_blk[:, None, :] * h_all, axis=0)
+    h_ref[...] = h_all[:, :, chunk - 1 : chunk]
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def kernel_v10(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+               y_ref, h_ref, *, nstate, chunk, sub):
+    """v8s with bf16 b-stack (e stays fp32-exact; carry fp32)."""
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    d, du, y, B_blk, C_blk, A_t = _prologue(
+        u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref)
+    dt = d.shape[0]
+    b_full = (du[None] * B_blk[:, None, :]).astype(jnp.bfloat16)
+    carry = h_ref[...].astype(jnp.float32)
+    hs = []
+    for i in range(chunk // sub):
+        sl = slice(i * sub, (i + 1) * sub)
+        b = b_full[:, :, sl]
+        sd = d[:, sl]
+        for s in range(int(math.log2(sub))):
+            k = 1 << s
+            e = jnp.exp(A_t * sd[None]).astype(jnp.bfloat16)
+            b_prev = jnp.concatenate(
+                [jnp.zeros((nstate, dt, k), jnp.bfloat16), b[:, :, :-k]],
+                axis=2)
+            b = e * b_prev + b
+            sd = sd + jnp.concatenate(
+                [jnp.zeros((dt, k), jnp.float32), sd[:, :-k]], axis=1)
+        P = jnp.exp(A_t * sd[None])
+        h_i = P * carry + b.astype(jnp.float32)
+        carry = h_i[:, :, -1:]
+        hs.append(h_i)
+    h_all = jnp.concatenate(hs, axis=2)
+    y = y + jnp.sum(C_blk[:, None, :] * h_all, axis=0)
+    h_ref[...] = carry
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+VARIANTS = {
+    "v0": (kernel_v0, {}),
+    "v8s_64": (kernel_v8s, {"sub": 64}),
+    "v10_128": (kernel_v10, {"sub": 128}),
+    "v1_128": (kernel_v1, {"sub": 128}),
+    "v1_256": (kernel_v1, {"sub": 256}),
+    "v3": (kernel_v3, {}),
+    "v4_128": (kernel_v4, {"sub": 128}),
+    "v6": (kernel_v6, {}),
+    "v8": (kernel_v8, {}),
+    "v8s_128": (kernel_v8s, {"sub": 128}),
+    "v8s_256": (kernel_v8s, {"sub": 256}),
+    "v9": (kernel_v9, {}),
+}
+PINGPONG = {"v9"}
+
+
+def build(kernel, extra, chunk=CHUNK, d_tile=D, seq_len=None):
+    seq = seq_len or L
+    n_chunks = seq // chunk
+    n_dtiles = DIM // d_tile
+    dg_tiles = (DIM // G) // d_tile
+    k = functools.partial(kernel, nstate=N, chunk=chunk, **extra)
+    scratch = [pltpu.VMEM((N, d_tile, 1), jnp.float32)]
+    if kernel is kernel_v9:
+        scratch += [pltpu.VMEM((N, d_tile, chunk), jnp.float32)] * 2
+
+    def fwd(u, d, A, B4, C4, Dskip, bias):
+        return pl.pallas_call(
+            k,
+            grid=(B, n_dtiles, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, d_tile, chunk), lambda b, dt, c: (b, dt, c)),
+                pl.BlockSpec((1, d_tile, chunk), lambda b, dt, c: (b, dt, c)),
+                pl.BlockSpec((N, d_tile, 1), lambda b, dt, c: (0, dt, 0)),
+                pl.BlockSpec((1, 1, N, chunk),
+                             lambda b, dt, c: (b, dt // dg_tiles, 0, c)),
+                pl.BlockSpec((1, 1, N, chunk),
+                             lambda b, dt, c: (b, dt // dg_tiles, 0, c)),
+                pl.BlockSpec((d_tile, 1), lambda b, dt, c: (dt, 0)),
+                pl.BlockSpec((d_tile, 1), lambda b, dt, c: (dt, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, d_tile, chunk), lambda b, dt, c: (b, dt, c)),
+            out_shape=jax.ShapeDtypeStruct((B, DIM, seq), jnp.bfloat16),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+        )(u, d, A, B4, C4, Dskip, bias)
+
+    return fwd
+
+
+def make_inputs(seed):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+    u = jax.random.normal(ks[0], (B, DIM, L), jnp.bfloat16)
+    delta = jnp.abs(jax.random.normal(ks[1], (B, DIM, L), jnp.bfloat16)) * 0.5
+    Bm = jax.random.normal(ks[2], (B, G, N, L), jnp.bfloat16)
+    Cm = jax.random.normal(ks[3], (B, G, N, L), jnp.bfloat16)
+    A = -jnp.exp(jax.random.normal(ks[4], (DIM, N)) * 0.5)
+    AT = A.T[:, :, None]
+    Dv = jnp.ones((DIM, 1), jnp.float32)
+    bias = jax.random.normal(ks[5], (DIM, 1)) * 0.01
+    return u, delta, AT, Bm, Cm, Dv, bias, A
+
+
+def parity(fwd, name):
+    from vmambair_tpu.ops.selective_scan import selective_scan_xla
+
+    u, delta, AT, Bm, Cm, Dv, bias, A = make_inputs(42)
+    # shrink for parity: L=2048 slice
+    Ls = 2048
+    us, ds = u[:, :, :Ls], delta[:, :, :Ls]
+    Bs, Cs = Bm[:, :, :, :Ls], Cm[:, :, :, :Ls]
+
+    fwd_s = build(*VARIANTS[name], seq_len=Ls)
+    y = fwd_s(us, ds, AT, Bs, Cs, Dv, bias)
+    y_ref = selective_scan_xla(
+        jnp.swapaxes(us, 1, 2), jnp.swapaxes(ds, 1, 2), A,
+        jnp.moveaxis(Bs, 3, 1), jnp.moveaxis(Cs, 3, 1),
+        Dv[:, 0], bias[:, 0], delta_softplus=True)
+    y_ref = jnp.swapaxes(y_ref, 1, 2)
+    err = float(jnp.max(jnp.abs(y.astype(jnp.float32) -
+                                y_ref.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(y_ref.astype(jnp.float32)))) + 1e-9
+    return err, err / scale
+
+
+def time_variant(fwd):
+    @jax.jit
+    def run_n(u, d, AT, Bm, Cm, Dv, bias):
+        def body(i, u):
+            y = fwd(u, d, AT, Bm, Cm, Dv, bias)
+            return y
+        return fwd(jax.lax.fori_loop(0, ITERS - 1, body, u),
+                   d, AT, Bm, Cm, Dv, bias)
+
+    args0 = make_inputs(0)[:7]
+    jax.block_until_ready(run_n(*args0))
+    ts = []
+    for rep in range(REPEATS):
+        args = make_inputs(rep + 1)[:7]
+        jax.block_until_ready(args)
+        t0 = time.perf_counter()
+        y = run_n(*args)
+        _ = float(jnp.sum(y[0, 0, :4].astype(jnp.float32)))
+        jax.block_until_ready(y)
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / ITERS
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", default=list(VARIANTS))
+    ap.add_argument("--skip-parity", action="store_true")
+    args = ap.parse_args()
+    for name in args.names:
+        fwd = build(*VARIANTS[name])
+        row = {"variant": name}
+        try:
+            if not args.skip_parity:
+                err, rel = parity(fwd, name)
+                row["max_abs_err"] = round(err, 5)
+                row["rel_err"] = round(rel, 6)
+            t = time_variant(fwd)
+            row["ms"] = round(t * 1e3, 3)
+            row["gelem_per_s"] = round(B * L * DIM * N / t / 1e9, 2)
+        except Exception as e:  # noqa: BLE001
+            row["error"] = repr(e)[:300]
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,7 +36,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.cross_scan import cross_scan_2d, cross_merge_2d
-from ..ops.pallas_scan import selective_scan
+from ..ops.pallas_scan import (
+    fused_scan_supported,
+    oss_scan_fused,
+    selective_scan,
+)
 from .layers import Conv2d, LayerNorm2d, torch_kernel_init, torch_bias_init
 
 
@@ -151,8 +155,21 @@ class SpatialScan(nn.Module):
         Dk = Ds.astype(jnp.float32).reshape(K, d)
         biask = dt_projs_bias.astype(jnp.float32)
 
+        use_fused = (
+            self.scan_impl in ("auto", "pallas")
+            and jax.default_backend() == "tpu"
+            and fused_scan_supported(b, L, 2, d, N)
+        )
+
         def run(k0, rev):
             sl = slice(k0, k0 + 2)
+            if use_fused:
+                # single projection-fused kernel call per direction pair
+                return oss_scan_fused(
+                    u2, x_proj_weight[sl], dt_projs_weight[sl],
+                    biask[sl], A[sl], Dk[sl],
+                    softplus=True, reverse=rev,
+                )
             x_dbl = jnp.einsum("blgd,gcd->blgc", u2, x_proj_weight[sl])
             dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
             dts = jnp.einsum("blgr,gdr->blgd", dts, dt_projs_weight[sl])
@@ -263,7 +280,13 @@ class OSS(nn.Module):
     """The full OSS module (SS2D_1)."""
 
     d_model: int
-    d_state: Any = "auto"
+    # the reference's SS2D_1 signature defaults d_state=16 and every arch
+    # instantiates it as `SS2D_1(d_model=dim, ssm_ratio=1)` without
+    # overriding it (`MambaSISR6_arch.py:227,507`, `MambaRealSR11_arch.py:
+    # 545,840`, `mamber32_arch.py:224,503`) — so N is 16 at EVERY level,
+    # not ceil(dim/6). "auto" remains accepted for the ceil(d_model/6) rule
+    # (`MambaSISR6_arch.py:260`), which no shipped config uses.
+    d_state: Any = 16
     ssm_ratio: float = 1.0
     ssm_rank_ratio: float = 1.0
     dt_rank: Any = "auto"
