@@ -300,3 +300,24 @@ def test_fused_scan_nblock_parity():
     y = oss_scan_fused(*args, interpret=True)
     y_ref = _fused_composite(*args, reverse=False)
     check_close(y, y_ref, jnp.float32, "fused N=32")
+
+
+def test_oflex_out_dtype():
+    """Independent output dtype (the reference's oflex variant,
+    `cusoflex/selective_scan_fwd_kernel_oflex.cuh:19-24`): bf16 inputs,
+    fp32 outputs, on both the XLA and Pallas paths."""
+    key = jax.random.PRNGKey(21)
+    u, delta, A, B, C, D, bias = make_inputs(
+        key, 1, 64, 8, 4, 1, jnp.bfloat16, True, True
+    )
+    kw = dict(D=D, delta_bias=bias, delta_softplus=True,
+              out_dtype=jnp.float32)
+    y_x = selective_scan(u, delta, A, B, C, impl="xla", **kw)
+    y_p = selective_scan(u, delta, A, B, C, impl="pallas", interpret=True,
+                         **kw)
+    assert y_x.dtype == jnp.float32 and y_p.dtype == jnp.float32
+    check_close(y_p, y_x, jnp.bfloat16, "oflex pallas vs xla")
+    # default (no out_dtype) still follows the input dtype
+    y_d = selective_scan(u, delta, A, B, C, impl="xla", D=D,
+                         delta_bias=bias, delta_softplus=True)
+    assert y_d.dtype == jnp.bfloat16

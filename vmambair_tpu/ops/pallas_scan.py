@@ -400,7 +400,7 @@ def scan_supported(u_shape, n_groups, N, return_last_state=False, min_l=512):
 
 
 def selective_scan_dl(u, delta, A, B, C, Dskip, bias, *, softplus=True,
-                      interpret=False, reverse=False):
+                      interpret=False, reverse=False, out_dtype=None):
     """Forward scan in native (batch, D, L) layout; B/C are (batch, G, N, L).
 
     All arguments required (use zeros for no-op Dskip/bias). Differentiable
@@ -413,8 +413,8 @@ def selective_scan_dl(u, delta, A, B, C, Dskip, bias, *, softplus=True,
     G, N = B.shape[1], A.shape[1]
     chunk, d_tile = _pick_tiles(L, dim, G, N)
     fwd = _build_pallas_fwd(
-        BT, L, dim, N, G, chunk, d_tile, softplus, interpret, str(u.dtype),
-        reverse,
+        BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
+        str(jnp.dtype(out_dtype or u.dtype)), reverse,
     )
     Dskip2 = Dskip.astype(jnp.float32).reshape(dim, 1)
     bias2 = bias.astype(jnp.float32).reshape(dim, 1)
@@ -423,7 +423,7 @@ def selective_scan_dl(u, delta, A, B, C, Dskip, bias, *, softplus=True,
 
 
 def _scan_pallas_fwd_impl(u, delta, A, B, C, Dskip, bias, *, softplus,
-                          interpret, reverse=False):
+                          interpret, reverse=False, out_dtype=None):
     # channels-last API -> DL kernel layout. Measured on v5e: the lane-axis
     # Hillis-Steele in (B, D, L) layout is ~2.3x faster per element than a
     # sublane-axis scan in native (B, L, D) layout (see _scan_kernel_ld),
@@ -436,22 +436,26 @@ def _scan_pallas_fwd_impl(u, delta, A, B, C, Dskip, bias, *, softplus,
     y_dl = selective_scan_dl(
         u_dl, d_dl, A, B_dl, C_dl, Dskip, bias,
         softplus=softplus, interpret=interpret, reverse=reverse,
+        out_dtype=out_dtype,
     )
     return jnp.swapaxes(y_dl, 1, 2)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_vjp_op(softplus: bool, interpret: bool, dl: bool,
-                 reverse: bool = False):
+                 reverse: bool = False, out_dtype_name: str = None):
+    # out_dtype_name: independent output dtype (the reference's "oflex"
+    # variant, `cusoflex/selective_scan_fwd_kernel_oflex.cuh:19-24` —
+    # e.g. fp32 outputs from bf16 inputs); None = follow input dtype.
     fwd_impl = (
         functools.partial(
             selective_scan_dl, softplus=softplus, interpret=interpret,
-            reverse=reverse,
+            reverse=reverse, out_dtype=out_dtype_name,
         )
         if dl
         else functools.partial(
             _scan_pallas_fwd_impl, softplus=softplus, interpret=interpret,
-            reverse=reverse,
+            reverse=reverse, out_dtype=out_dtype_name,
         )
     )
 
@@ -481,6 +485,8 @@ def _make_vjp_op(softplus: bool, interpret: bool, dl: bool,
             )
         if reverse:
             y = jnp.flip(y, l_axis)
+        if out_dtype_name is not None:
+            y = y.astype(jnp.dtype(out_dtype_name))
         return y
 
     @jax.custom_vjp
@@ -691,13 +697,24 @@ def selective_scan(
     impl: str = "auto",
     interpret: bool = False,
     reverse: bool = False,
+    out_dtype=None,
 ):
     """Selective scan with automatic implementation dispatch.
 
     impl: 'auto' (pallas on TPU, xla elsewhere) | 'pallas' | 'xla' | 'seq'.
     Layouts as in `selective_scan_xla` (channels-last: u (B,L,D); B/C
-    (B,L,G,N)).
+    (B,L,G,N)). out_dtype: independent output dtype (the reference's
+    oflex variant, `cusoflex/selective_scan_fwd_kernel_oflex.cuh:19-24`);
+    None follows the input dtype.
     """
+    if out_dtype is not None and impl in ("seq", "xla"):
+        y = selective_scan(
+            u, delta, A, B, C, D, delta_bias, delta_softplus,
+            return_last_state, impl, interpret, reverse,
+        )
+        if return_last_state:
+            return y[0].astype(jnp.dtype(out_dtype)), y[1]
+        return y.astype(jnp.dtype(out_dtype))
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if reverse and impl in ("seq", "xla"):
@@ -725,16 +742,24 @@ def selective_scan(
             jnp.zeros((dim,), jnp.float32) if delta_bias is None else delta_bias
         )
         op = _make_vjp_op(
-            bool(delta_softplus), bool(interpret), False, bool(reverse)
+            bool(delta_softplus), bool(interpret), False, bool(reverse),
+            None if out_dtype is None else str(jnp.dtype(out_dtype)),
         )
         return op(u, delta, A, B, C, Dskip, bias)
+    def _cast(y):
+        if out_dtype is None:
+            return y
+        if return_last_state:
+            return y[0].astype(jnp.dtype(out_dtype)), y[1]
+        return y.astype(jnp.dtype(out_dtype))
+
     if reverse:
         y = selective_scan_xla(
             jnp.flip(u, 1), jnp.flip(delta, 1), A, jnp.flip(B, 1),
             jnp.flip(C, 1), D, delta_bias, delta_softplus,
             return_last_state,
         )
-        return jnp.flip(y, 1)
-    return selective_scan_xla(
+        return _cast(jnp.flip(y, 1))
+    return _cast(selective_scan_xla(
         u, delta, A, B, C, D, delta_bias, delta_softplus, return_last_state
-    )
+    ))

@@ -201,6 +201,14 @@ def train_pipeline(root_path: str, opt: Optional[Dict[str, Any]] = None,
 
     iter_timer, data_timer = AvgTimer(), AvgTimer()
     start_time = time.time()
+
+    # pre-train validation pass — exercises the eval path at iter 0 like
+    # the reference (`SRGAN/VmambaIR/train_pipeline.py:161-162`)
+    if val_freq and current_iter == 0:
+        logger.info("Pre-train validation at iter 0.")
+        for val_loader in val_loaders:
+            model.validation(val_loader, current_iter, tb_logger, save_img)
+
     logger.info("Start training from iter %d", current_iter)
 
     while current_iter < total_iters:
