@@ -28,7 +28,7 @@ import jax.numpy as jnp
 BASELINE_MPS = 10.0  # estimated A100 reference, output MP/s (see docstring)
 
 TILE = 128      # input tile (output 512x512)
-BATCH = 8       # tiles per step
+BATCH = int(__import__("os").environ.get("VMAMBAIR_BENCH_BATCH", "8"))
 SCALE = 4
 WARMUP = 2
 ITERS = 17

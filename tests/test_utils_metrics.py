@@ -377,3 +377,64 @@ def test_lpips_dists_converters_shapes():
         {"alpha": torch.rand(1, 100, 1, 1), "beta": torch.rand(1, 100, 1, 1)}
     )
     assert ab["alpha"].shape == (1, 100) and ab["beta"].shape == (1, 100)
+
+
+def test_derain_matlab_protocol_equivalence():
+    """T15: the deraining published-number pathway
+    (`/root/reference/Deraining/Deraining/evaluate_PSNR_SSIM.m:56-83`) is
+    MATLAB rgb2ycbcr -> Y channel (uint8-quantized) -> no border crop ->
+    PSNR = 20 log10(255/rmse), SSIM = Wang's index (gaussian 11x11/1.5,
+    K=[.01,.03], L=255). Our `calculate_psnr/ssim(crop_border=0,
+    test_y_channel=True)` computes the same math on the float Y channel;
+    this test (a) recomputes the .m PSNR independently with
+    uint8-quantized Y exactly as MATLAB does and bounds the float-vs-
+    quantized delta well inside the 0.05 dB parity budget, and (b) checks
+    SSIM against an independent implementation of Wang's formula."""
+    import numpy as np
+    from vmambair_tpu.metrics.psnr_ssim import calculate_psnr, calculate_ssim
+    from vmambair_tpu.utils.matlab import bgr2ycbcr
+
+    rng = np.random.RandomState(3)
+    gt = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    noise = rng.randn(64, 64, 3) * 6
+    out = np.clip(gt.astype(np.float64) + noise, 0, 255).astype(np.uint8)
+
+    # exact .m pathway: rgb2ycbcr on uint8 returns uint8 (quantized Y)
+    def matlab_y_uint8(img_rgb):
+        y = bgr2ycbcr(img_rgb[..., ::-1].astype(np.float64) / 255.0,
+                      y_only=True) * 255.0
+        return np.round(y).astype(np.uint8)
+
+    y1, y2 = matlab_y_uint8(out), matlab_y_uint8(gt)
+    rmse = np.sqrt(np.mean((y1.astype(np.float64)
+                            - y2.astype(np.float64)) ** 2))
+    psnr_m = 20 * np.log10(255.0 / rmse)
+
+    # our pathway (images are BGR uint8 like cv2.imread / the metric CLIs)
+    psnr_ours = calculate_psnr(out[..., ::-1], gt[..., ::-1], crop_border=0,
+                               test_y_channel=True)
+    assert abs(psnr_ours - psnr_m) < 0.05, (psnr_ours, psnr_m)
+
+    # independent Wang SSIM on the quantized Y channel
+    import cv2
+
+    def wang_ssim(a, b):
+        C1, C2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+        a = a.astype(np.float64)
+        b = b.astype(np.float64)
+        kernel = cv2.getGaussianKernel(11, 1.5)
+        window = np.outer(kernel, kernel.transpose())
+        mu1 = cv2.filter2D(a, -1, window)[5:-5, 5:-5]
+        mu2 = cv2.filter2D(b, -1, window)[5:-5, 5:-5]
+        mu1_sq, mu2_sq, mu1_mu2 = mu1**2, mu2**2, mu1 * mu2
+        s1 = cv2.filter2D(a**2, -1, window)[5:-5, 5:-5] - mu1_sq
+        s2 = cv2.filter2D(b**2, -1, window)[5:-5, 5:-5] - mu2_sq
+        s12 = cv2.filter2D(a * b, -1, window)[5:-5, 5:-5] - mu1_mu2
+        m = ((2 * mu1_mu2 + C1) * (2 * s12 + C2)) / (
+            (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
+        return m.mean()
+
+    ssim_m = wang_ssim(y1, y2)
+    ssim_ours = calculate_ssim(out[..., ::-1], gt[..., ::-1], crop_border=0,
+                               test_y_channel=True)
+    assert abs(ssim_ours - ssim_m) < 2e-3, (ssim_ours, ssim_m)

@@ -108,10 +108,16 @@ def bench_model_ablate():
     tags = os.environ.get("ABLATE", "pallas,bypass").split(",")
     table = {"pallas": ("auto", None), "xla": ("xla", None),
              "bypass": ("auto", fake_scan)}
+    real_fused = oss_mod.oss_scan_fused
+
+    def fake_fused(u2, xw, dw, db, A, Ds, **kw):
+        return (u2 * Ds[None, None]).astype(u2.dtype)
+
     for tag in tags:
         impl, patch = table[tag]
         if patch is not None:
             oss_mod.selective_scan = patch
+            oss_mod.oss_scan_fused = fake_fused
         try:
             net = build_network(dict(type="MambaSISR6", dtype=jnp.bfloat16,
                                      scan_impl=impl))
@@ -131,6 +137,7 @@ def bench_model_ablate():
                               "mps": round(out_mp / t, 3)}), flush=True)
         finally:
             oss_mod.selective_scan = real_scan
+            oss_mod.oss_scan_fused = real_fused
 
 
 def _scan_inputs(seed, dl=False):

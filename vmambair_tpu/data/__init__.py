@@ -16,6 +16,12 @@ from .task_datasets import (
     DualPixelDefocusDataset,
     GaussianDenoisingDataset,
 )
+from .video_datasets import (
+    FFHQDataset,
+    REDSDataset,
+    VideoTestDataset,
+    Vimeo90KDataset,
+)
 
 logger = logging.getLogger("vmambair_tpu")
 

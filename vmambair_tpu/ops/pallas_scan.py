@@ -371,8 +371,12 @@ def _pick_tiles(L, dim, G, N):
             default=dg,
         )
     nb = min(N, 16)  # MAX_N_STACK
-    chunk = 1024
-    budget = 32 * 1024 * 1024  # bytes
+    import os
+
+    chunk = 1024 * int(os.environ.get("VMAMBAIR_SCAN_CHUNK_X", "1"))
+    budget = (
+        int(os.environ.get("VMAMBAIR_SCAN_VMEM_MB", "32")) * 1024 * 1024
+    )
     while chunk > 8 and (4 * nb + 8) * d_tile * chunk * 4 > budget:
         chunk //= 2
     while chunk > 1 and L % chunk != 0:
