@@ -438,3 +438,34 @@ def test_derain_matlab_protocol_equivalence():
     ssim_ours = calculate_ssim(out[..., ::-1], gt[..., ::-1], crop_border=0,
                                test_y_channel=True)
     assert abs(ssim_ours - ssim_m) < 2e-3, (ssim_ours, ssim_m)
+
+
+def test_restoration_upscaler_mesh_parallel():
+    """Tile-parallel inference over a device mesh: the tile-batch axis is
+    sharded across the 'data' axis (tiles are embarrassingly parallel —
+    SURVEY phase 6); output must match the single-device path exactly."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from vmambair_tpu.models import build_network
+    from vmambair_tpu.utils.upscaler import RestorationUpscaler
+
+    net = build_network(dict(
+        type="OSSNet", scale=4, dim=8, num_blocks=[1, 1, 1, 1],
+        num_refinement_blocks=1, scan_impl="xla",
+    ))
+    x0 = np.random.RandomState(0).rand(1, 16, 16, 3).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(0), x0)
+    img = np.random.RandomState(1).rand(24, 20, 3).astype(np.float32)
+
+    up1 = RestorationUpscaler(4, net, params, tile=8, tile_pad=4,
+                              pre_pad=0, tile_batch=2)
+    y1, _ = up1.enhance(img)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    upm = RestorationUpscaler(4, net, params, tile=8, tile_pad=4,
+                              pre_pad=0, tile_batch=2, mesh=mesh)
+    assert upm.tile_batch % len(jax.devices()) == 0
+    ym, _ = upm.enhance(img)
+    assert y1.shape == ym.shape == (96, 80, 3)
+    np.testing.assert_allclose(ym, y1, rtol=2e-5, atol=2e-5)

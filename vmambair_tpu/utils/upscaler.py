@@ -25,7 +25,11 @@ class RestorationUpscaler:
     def __init__(self, scale: int, model, params, tile: int = 0,
                  tile_pad: int = 10, pre_pad: int = 10,
                  half: bool = False, window: int = 8,
-                 tile_batch: int = 4):
+                 tile_batch: int = 4, mesh=None):
+        """mesh: optional `jax.sharding.Mesh` with a 'data' axis — tiles are
+        embarrassingly parallel, so the tile-batch axis is sharded across
+        the mesh (params replicated) and each chip upscales its shard.
+        `tile_batch` is rounded up to a mesh-size multiple."""
         self.scale = scale
         self.model = model
         self.params = params
@@ -33,13 +37,30 @@ class RestorationUpscaler:
         self.tile_pad = tile_pad
         self.pre_pad = pre_pad
         self.window = window
-        self.tile_batch = max(1, tile_batch)
         self.dtype = jnp.bfloat16 if half else jnp.float32
-        self._apply = jax.jit(
-            lambda p, x: self.model.apply(p, x.astype(self.dtype)).astype(
-                jnp.float32
+        self.mesh = mesh
+        fn = lambda p, x: self.model.apply(  # noqa: E731
+            p, x.astype(self.dtype)
+        ).astype(jnp.float32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            nd = mesh.devices.size
+            tile_batch = max(1, -(-max(1, tile_batch) // nd) * nd)
+            batch_sh = NamedSharding(mesh, P("data"))
+            repl_sh = NamedSharding(mesh, P())
+            self.params = jax.device_put(params, repl_sh)
+            self._apply = jax.jit(
+                fn,
+                in_shardings=(
+                    jax.tree_util.tree_map(lambda _: repl_sh, params),
+                    batch_sh,
+                ),
+                out_shardings=batch_sh,
             )
-        )
+        else:
+            self._apply = jax.jit(fn)
+        self.tile_batch = max(1, tile_batch)
 
     # -- whole-image path (`utils.py:52-96`) -------------------------------
     def pre_process(self, img: np.ndarray) -> tuple[np.ndarray, int, int]:
