@@ -321,3 +321,40 @@ def test_oflex_out_dtype():
     y_d = selective_scan(u, delta, A, B, C, impl="xla", D=D,
                          delta_bias=bias, delta_softplus=True)
     assert y_d.dtype == jnp.bfloat16
+
+
+def test_sequence_parallel_scan():
+    """L sharded over an 8-device mesh; carries combined via a log-step
+    ppermute chain (vmambair_tpu/parallel/sp_scan.py). Must match the
+    single-device sequential scan."""
+    import numpy as np_
+    from jax.sharding import Mesh
+
+    from vmambair_tpu.parallel.sp_scan import selective_scan_sp
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs), ("sp",))
+    key = jax.random.PRNGKey(31)
+    batch, L, dim, N, G = 2, 16 * len(devs), 16, 4, 2
+    u, delta, A, B, C, D, bias = make_inputs(
+        key, batch, L, dim, N, G, jnp.float32, True, True
+    )
+    y_sp = selective_scan_sp(
+        u, delta, A, B, C, D, bias, True, mesh=mesh, axis="sp"
+    )
+    y_ref = selective_scan_seq(u, delta, A, B, C, D, bias, True)
+    check_close(y_sp, y_ref, jnp.float32, "sequence-parallel scan")
+
+    # gradients flow through the ppermute chain
+    def loss(fn):
+        def f(u, delta):
+            y = fn(u, delta)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+        return jax.grad(f, argnums=(0, 1))(u, delta)
+
+    g_sp = loss(lambda u_, d_: selective_scan_sp(
+        u_, d_, A, B, C, D, bias, True, mesh=mesh, axis="sp"))
+    g_ref = loss(lambda u_, d_: selective_scan_seq(
+        u_, d_, A, B, C, D, bias, True))
+    for a, b, n in zip(g_sp, g_ref, ["du", "ddelta"]):
+        check_close(a, b, jnp.float32, f"sp grad {n}", scale=5.0)

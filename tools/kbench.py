@@ -237,7 +237,60 @@ def main():
     print(json.dumps({"backend": jax.default_backend(),
                       "device": str(jax.devices()[0])}), flush=True)
     for p in args.pieces:
-        PIECES[p]()
+        (PIECES.get(p) or globals()[f"bench_{p}"])()
+
+
+
+
+def bench_trainstep():
+    """Training-step time: jitted L1 value_and_grad + adam update on
+    MambaSISR6 at the S1 recipe shapes (256^2 GT crops, batch 8/chip)."""
+    import optax
+
+    from vmambair_tpu.models import build_network
+
+    net = build_network(dict(type="MambaSISR6", dtype=jnp.bfloat16))
+    key = jax.random.PRNGKey(0)
+    lq = jax.random.uniform(key, (8, 64, 64, 3), jnp.float32)
+    gt = jax.random.uniform(key, (8, 256, 256, 3), jnp.float32)
+    params = jax.jit(net.init)(key, lq[:1])
+    tx = optax.adam(2e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, lq, gt):
+        def loss_fn(p):
+            y = net.apply(p, lq)
+            return jnp.mean(jnp.abs(y.astype(jnp.float32) - gt))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def run_n(params, opt_state, lq, gt, n=5):
+        def body(i, c):
+            p, o, _ = step(c[0], c[1], lq + c[2] * 1e-9, gt)
+            return (p, o, c[2] + 1.0)
+        p, o, i = jax.lax.fori_loop(0, n, body, (params, opt_state, 0.0))
+        return step(p, o, lq, gt)
+
+    import time as _t
+
+    out = jax.block_until_ready(run_n(params, opt_state, lq, gt))
+    ts = []
+    for rep in range(3):
+        lqr = jax.random.uniform(jax.random.PRNGKey(rep + 1),
+                                 (8, 64, 64, 3), jnp.float32)
+        jax.block_until_ready(lqr)
+        t0 = _t.perf_counter()
+        p, o, loss = run_n(params, opt_state, lqr, gt)
+        _ = float(loss)
+        jax.block_until_ready(p)
+        ts.append(_t.perf_counter() - t0)
+    t = min(ts) / 6
+    print(json.dumps({"piece": "train_step", "ms": round(t * 1e3, 2),
+                      "px_per_s_like": round(8 * 256 * 256 / t / 1e6, 3)}),
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -81,8 +81,12 @@ def selective_scan_seq(
     delta_bias: Optional[jax.Array] = None,
     delta_softplus: bool = False,
     return_last_state: bool = False,
+    h0: Optional[jax.Array] = None,
 ):
-    """Sequential reference implementation (`lax.scan` over L)."""
+    """Sequential reference implementation (`lax.scan` over L).
+
+    h0: optional initial state (batch, dim, N) — used by the
+    sequence-parallel wrapper to resume from an upstream shard's carry."""
     uf, df, Af, Bf, Cf, Df, (batch, L, dim, N, G) = _prep(
         u, delta, A, B, C, D, delta_bias, delta_softplus
     )
@@ -93,7 +97,10 @@ def selective_scan_seq(
     B_t = jnp.moveaxis(Bf, 1, 0)  # (L, batch, G, N)
     C_t = jnp.moveaxis(Cf, 1, 0)
 
-    h0 = jnp.zeros((batch, dim, N), jnp.float32)
+    if h0 is None:
+        h0 = jnp.zeros((batch, dim, N), jnp.float32)
+    else:
+        h0 = h0.astype(jnp.float32)
 
     def step(h, inp):
         ut, dt, Bt, Ct = inp
@@ -156,6 +163,7 @@ def selective_scan_xla(
     delta_softplus: bool = False,
     return_last_state: bool = False,
     chunk_size: int = 64,
+    h0: Optional[jax.Array] = None,
 ):
     """Chunked scan: `lax.scan` over L/chunk chunks, associative scan inside.
 
@@ -191,7 +199,10 @@ def selective_scan_xla(
         u_c, d_c, B_c, C_c = inp
         return body(h, u_c, d_c, B_c, C_c)
 
-    h0 = jnp.zeros((batch, dim, N), jnp.float32)
+    if h0 is None:
+        h0 = jnp.zeros((batch, dim, N), jnp.float32)
+    else:
+        h0 = h0.astype(jnp.float32)
     h_last, y_ch = jax.lax.scan(scan_step, h0, (u_ch, d_ch, B_ch, C_ch))
     y = jnp.moveaxis(y_ch, 0, 1).reshape(batch, Lp, dim)[:, :L]
     if Df is not None:
