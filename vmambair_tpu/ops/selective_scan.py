@@ -122,10 +122,32 @@ def selective_scan_seq(
     return y
 
 
-def _assoc_combine(left, right):
-    a_l, b_l = left
-    a_r, b_r = right
-    return a_l * a_r, a_r * b_l + b_r
+def _hillis_scan(da, b, axis=1):
+    """Inclusive scan of (a, b) pairs via explicit Hillis-Steele doubling.
+
+    Same math as `lax.associative_scan` with the combine
+    (aL,bL),(aR,bR) -> (aL*aR, aR*bL + bR), but written as plain
+    pad/slice/multiply ops: the associative_scan lowering's TRANSPOSE
+    (backward pass) crashes the XLA:TPU compiler at the trainer's shapes
+    (fusion_util.cc TransformWindow check failure); this formulation
+    differentiates through ordinary ops. Requires a power-of-two axis size.
+    """
+    n = da.shape[axis]
+    assert (n & (n - 1)) == 0, "chunk must be a power of two"
+    aa, bb = da, b
+    k = 1
+    while k < n:
+        a_prev = jax.lax.slice_in_dim(aa, 0, n - k, axis=axis)
+        b_prev = jax.lax.slice_in_dim(bb, 0, n - k, axis=axis)
+        a_keep = jax.lax.slice_in_dim(aa, 0, k, axis=axis)
+        b_keep = jax.lax.slice_in_dim(bb, 0, k, axis=axis)
+        a_tail = jax.lax.slice_in_dim(aa, k, n, axis=axis)
+        b_tail = jax.lax.slice_in_dim(bb, k, n, axis=axis)
+        bb = jnp.concatenate(
+            [b_keep, a_tail * b_prev + b_tail], axis=axis)
+        aa = jnp.concatenate([a_keep, a_tail * a_prev], axis=axis)
+        k *= 2
+    return aa, bb
 
 
 def _chunk_body(Af, dg, h, u_c, d_c, B_c, C_c):
@@ -141,7 +163,7 @@ def _chunk_body(Af, dg, h, u_c, d_c, B_c, C_c):
     da = jnp.exp(d_c[..., None] * Af)
     x = (d_c * u_c).reshape(batch, Ck, G, dg)
     b = (B_c[..., None, :] * x[..., None]).reshape(batch, Ck, dim, N)
-    aa, bb = jax.lax.associative_scan(_assoc_combine, (da, b), axis=1)
+    aa, bb = _hillis_scan(da, b, axis=1)
     h_all = aa * h[:, None] + bb  # (batch, Ck, D, N)
     y = jnp.einsum(
         "blgn,blgdn->blgd",
@@ -177,6 +199,7 @@ def selective_scan_xla(
     )
     dg = dim // G
     Ck = min(chunk_size, L)
+    Ck = 1 << (Ck.bit_length() - 1)  # _hillis_scan needs a power of two
     if L % Ck != 0:
         # pad L to a multiple of the chunk (a=1 ~ exp(0*A)=handled via delta=0)
         pad = Ck - L % Ck
