@@ -72,6 +72,30 @@ def test_enlarged_sampler_sharding():
     assert all(0 <= i < n for i in all_idx)
 
 
+def test_tiny_dataset_still_fills_one_global_batch():
+    # dataset smaller than the global batch: the sampler pads the virtual
+    # epoch to a multiple of the device count (reference EnlargedSampler
+    # pads to world_size, `data_sampler.py:31-33`) so the train loader
+    # yields at least one full batch instead of StopIteration
+    from vmambair_tpu.data import build_dataloader
+
+    class DS:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i, rng=None):
+            return {"x": np.full((2,), i, np.float32)}
+
+    opt = {"phase": "train", "batch_size_per_gpu": 1, "num_gpu": 8,
+           "num_worker_per_gpu": 1, "dataset_enlarge_ratio": 1}
+    loader, sampler = build_dataloader(DS(), opt)
+    assert sampler.total_size == 8
+    assert len(loader) == 1
+    batches = list(loader)
+    assert len(batches) == 1 and batches[0]["x"].shape == (8, 2)
+    assert all(0 <= int(v[0]) < 6 for v in batches[0]["x"])
+
+
 def test_dataloader_order_and_epochs():
     from vmambair_tpu.data.loader import DataLoader
 

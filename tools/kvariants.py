@@ -439,8 +439,102 @@ def kernel_v12_ld(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
     y_ref[0] = y.astype(y_ref.dtype)
 
 
+LOG2E = 1.4426950408889634
+
+
+def kernel_v13(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+               y_ref, h_ref, *, nstate, chunk, sub, exp2=False):
+    """v8s with the subchunk carry FOLDED into b[0]: the h_{-1} contribution
+    enters the scan as b0 += exp(A*d0)*carry (narrow (N,Dt,1) ops), which
+    eliminates the full-width P*carry combine (exp-mul + exp + FMA) per
+    subchunk; the final sd update of each subchunk (which only fed P) is
+    also dropped.  exp2=True additionally pre-scales A by log2(e) and uses
+    exp2 in the step combine."""
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    d, du, y, B_blk, C_blk, A_t = _prologue(
+        u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref)
+    dt = d.shape[0]
+    exp = jnp.exp2 if exp2 else jnp.exp
+    if exp2:
+        A_t = A_t * LOG2E
+    b_full = du[None] * B_blk[:, None, :]
+    carry = h_ref[...].astype(jnp.float32)
+    n_steps = int(math.log2(sub))
+    hs = []
+    for i in range(chunk // sub):
+        lo, hi = i * sub, (i + 1) * sub
+        d0 = d[:, lo : lo + 1]                       # (Dt, 1)
+        b0 = b_full[:, :, lo : lo + 1] + exp(A_t * d0[None]) * carry
+        b = jnp.concatenate([b0, b_full[:, :, lo + 1 : hi]], axis=2)
+        sd = d[:, lo:hi]
+        for s in range(n_steps):
+            k = 1 << s
+            e = exp(A_t * sd[None])
+            b_prev = jnp.concatenate(
+                [jnp.zeros((nstate, dt, k), jnp.float32), b[:, :, :-k]],
+                axis=2)
+            b = e * b_prev + b
+            if s < n_steps - 1:
+                sd = sd + jnp.concatenate(
+                    [jnp.zeros((dt, k), jnp.float32), sd[:, :-k]], axis=1)
+        carry = b[:, :, -1:]
+        hs.append(b)
+    h_all = jnp.concatenate(hs, axis=2)
+    y = y + jnp.sum(C_blk[:, None, :] * h_all, axis=0)
+    h_ref[...] = carry
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def kernel_v14(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+               y_ref, h_ref, *, nstate, chunk, sub):
+    """v8s with exp2 + pre-scaled A (saves the inner scale mul if the HW
+    exp lowers via exp2)."""
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    d, du, y, B_blk, C_blk, A_t = _prologue(
+        u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref)
+    dt = d.shape[0]
+    A2 = A_t * LOG2E
+    b_full = du[None] * B_blk[:, None, :]
+    carry = h_ref[...].astype(jnp.float32)
+    hs = []
+    for i in range(chunk // sub):
+        sl = slice(i * sub, (i + 1) * sub)
+        b = b_full[:, :, sl]
+        sd = d[:, sl]
+        for s in range(int(math.log2(sub))):
+            k = 1 << s
+            e = jnp.exp2(A2 * sd[None])
+            b_prev = jnp.concatenate(
+                [jnp.zeros((nstate, dt, k), jnp.float32), b[:, :, :-k]],
+                axis=2)
+            b = e * b_prev + b
+            sd = sd + jnp.concatenate(
+                [jnp.zeros((dt, k), jnp.float32), sd[:, :-k]], axis=1)
+        P = jnp.exp2(A2 * sd[None])
+        h_i = P * carry + b
+        carry = h_i[:, :, -1:]
+        hs.append(h_i)
+    h_all = jnp.concatenate(hs, axis=2)
+    y = y + jnp.sum(C_blk[:, None, :] * h_all, axis=0)
+    h_ref[...] = carry
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
 VARIANTS = {
     "v0": (kernel_v0, {}),
+    "v13_fold_128": (kernel_v13, {"sub": 128}),
+    "v13_fold_exp2_128": (kernel_v13, {"sub": 128, "exp2": True}),
+    "v14_exp2_128": (kernel_v14, {"sub": 128}),
     "v8s_64": (kernel_v8s, {"sub": 64}),
     "v10_128": (kernel_v10, {"sub": 128}),
     "v11_128": (kernel_v11, {"sub": 128}),

@@ -28,16 +28,22 @@ import numpy as np
 
 class EnlargedSampler:
     def __init__(self, dataset_len: int, num_replicas: int = 1, rank: int = 0,
-                 ratio: int = 1, shuffle: bool = True, seed: int = 0):
+                 ratio: int = 1, shuffle: bool = True, seed: int = 0,
+                 round_multiple: Optional[int] = None):
+        """round_multiple: granularity the virtual dataset size is padded to
+        (indices wrap mod dataset_len). Defaults to num_replicas — the
+        reference pads to a multiple of world_size (`data_sampler.py:31-33`)
+        so every rank always draws at least one sample even when the dataset
+        is smaller than the device count; the single-controller caller
+        passes the mesh device count here for the same guarantee."""
         self.dataset_len = dataset_len
         self.num_replicas = num_replicas
         self.rank = rank
         self.epoch = 0
         self.shuffle = shuffle
         self.seed = seed
-        self.total_size = (
-            -(-dataset_len * ratio // num_replicas) * num_replicas
-        )
+        g = max(num_replicas, round_multiple or 1)
+        self.total_size = -(-dataset_len * ratio // g) * g
         self.num_samples = self.total_size // num_replicas
 
     def set_epoch(self, epoch: int):
@@ -184,4 +190,11 @@ class InfinitePrefetcher:
             self.epoch += 1
             self.loader.set_epoch(self.epoch)
             self._it = iter(self.loader)
-            return next(self._it)
+            try:
+                return next(self._it)
+            except StopIteration:
+                raise RuntimeError(
+                    "train loader yields no batches — dataset smaller than "
+                    "the global batch (len(dataset)*enlarge_ratio < "
+                    "batch_size_per_gpu*num_gpu after drop_last)?"
+                ) from None

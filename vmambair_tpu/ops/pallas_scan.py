@@ -58,6 +58,7 @@ def _softplus(x):
 
 MAX_N_STACK = 16  # states scanned together per VMEM stack
 SUBCHUNK = 128    # Hillis-Steele span (lanes); sequential carry across
+LOG2E = 1.4426950408889634  # decays computed as exp2(A*log2e * sd)
 
 
 def _scan_kernel(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
@@ -113,6 +114,11 @@ def _scan_core(d, u, A_all, B_all, C_all, Dskip, h_ref, *, nstate, chunk,
     (N, Dt, 1); B_all/C_all (N, chunk); Dskip (Dt, 1); h_ref VMEM scratch
     (N, Dt, 1) fp32 carrying state across the chunk grid axis. Returns
     y (Dt, chunk) fp32.
+
+    Decays are computed as exp2(A*log2e * sd) (measured faster than exp on
+    v5e), and the incoming subchunk carry is folded into the boundary
+    element of b before the Hillis-Steele, so no full-width P*carry combine
+    is needed (both changes are exact).
     """
     du = d * u
     y = Dskip * u  # (Dt, chunk)
@@ -131,33 +137,48 @@ def _scan_core(d, u, A_all, B_all, C_all, Dskip, h_ref, *, nstate, chunk,
     for n0 in range(0, nstate, MAX_N_STACK):
         n1 = min(n0 + MAX_N_STACK, nstate)
         nb = n1 - n0
-        A_t = A_all[n0:n1]                      # (nb, Dt, 1)
+        # pre-scaled for exp2 (measured faster than exp on v5e; exact):
+        A_t = A_all[n0:n1] * LOG2E              # (nb, Dt, 1)
         B_blk = B_all[n0:n1]                    # (nb, chunk)
         C_blk = C_all[n0:n1]
         b_full = du[None] * B_blk[:, None, :]   # (nb, Dt, chunk)
         carry = h0_all[n0:n1]                   # (nb, Dt, 1)
         pieces = []
         for sl in sub_slices:
-            b = b_full[:, :, sl]
+            # the incoming carry h_{-1} is FOLDED into the boundary
+            # element: b_edge += a_edge * h_{-1} makes the plain inclusive
+            # scan of b produce h directly — this replaces the full-width
+            # P*carry combine (exp-mul + exp + FMA per element) with
+            # (nb, Dt, 1)-narrow ops at the subchunk edge
+            edge = sl.stop - 1 if reverse else sl.start
+            d_e = d[:, edge : edge + 1]
+            b_e = (b_full[:, :, edge : edge + 1]
+                   + jnp.exp2(A_t * d_e[None]) * carry)
+            if reverse:
+                b = jnp.concatenate(
+                    [b_full[:, :, sl.start : edge], b_e], axis=2)
+            else:
+                b = jnp.concatenate(
+                    [b_e, b_full[:, :, edge + 1 : sl.stop]], axis=2)
             sd = d[:, sl]
             for s in range(n_steps):
                 k = 1 << s
-                e = jnp.exp(A_t * sd[None])  # a_k in (0, 1]
+                e = jnp.exp2(A_t * sd[None])  # a_k in (0, 1]
                 zb = jnp.zeros((nb, dt, k), jnp.float32)
-                zs = jnp.zeros((dt, k), jnp.float32)
                 if reverse:
                     b_prev = jnp.concatenate([b[:, :, k:], zb], axis=2)
-                    sd_prev = jnp.concatenate([sd[:, k:], zs], axis=1)
                 else:
                     b_prev = jnp.concatenate([zb, b[:, :, :-k]], axis=2)
-                    sd_prev = jnp.concatenate([zs, sd[:, :-k]], axis=1)
                 b = e * b_prev + b
-                sd = sd + sd_prev
-            # sd is now the within-subchunk (reverse-)cumsum of delta
-            P = jnp.exp(A_t * sd[None])
-            h_i = P * carry + b
-            edge = 0 if reverse else sub - 1
-            carry = h_i[:, :, edge : edge + 1]
+                if s < n_steps - 1:  # final sd only fed the old P combine
+                    zs = jnp.zeros((dt, k), jnp.float32)
+                    if reverse:
+                        sd = sd + jnp.concatenate([sd[:, k:], zs], axis=1)
+                    else:
+                        sd = sd + jnp.concatenate([zs, sd[:, :-k]], axis=1)
+            h_i = b
+            out_edge = 0 if reverse else sub - 1
+            carry = h_i[:, :, out_edge : out_edge + 1]
             pieces.append(h_i)
         carries.append(carry)
         if reverse:
