@@ -116,7 +116,9 @@ def test_gradient_parity(impl, dtype):
         check_close(g_new, g_ref, dtype, name, scale=5.0)
 
 
-@pytest.mark.parametrize("L,G", [(32, 1), (64, 2)])
+@pytest.mark.parametrize(
+    "L,G", [(32, 1), (64, 2), (256, 2), (2048, 1)]
+)  # 256 = multi-SUBCHUNK (carry-fold path), 2048 = multi-chunk (VMEM carry)
 @pytest.mark.parametrize("dtype", ["float32"])
 def test_pallas_interpret_forward_parity(L, G, dtype):
     """Pallas kernel (interpret mode, CPU) vs sequential reference,
@@ -169,11 +171,12 @@ def test_empty_D_and_no_bias():
 
 
 @pytest.mark.parametrize("impl", ["xla", "pallas"])
-def test_reverse_scan_parity(impl):
+@pytest.mark.parametrize("L", [64, 256])
+def test_reverse_scan_parity(impl, L):
     """reverse=True == flip -> scan -> flip (the reference's directions 2/3
     without materializing the flips)."""
     key = jax.random.PRNGKey(3)
-    batch, L, dim, N, G = 2, 64, 16, 4, 2
+    batch, dim, N, G = 2, 16, 4, 2
     u, delta, A, B, C, D, bias = make_inputs(
         key, batch, L, dim, N, G, jnp.float32, True, True
     )
@@ -321,6 +324,111 @@ def test_oflex_out_dtype():
     y_d = selective_scan(u, delta, A, B, C, impl="xla", D=D,
                          delta_bias=bias, delta_softplus=True)
     assert y_d.dtype == jnp.bfloat16
+
+
+# ------------------------------------------------- Pallas backward kernel
+
+def _grads(fn, args, n):
+    def f(*a):
+        y = fn(*a).astype(jnp.float32)
+        w = jnp.cos(0.37 * jnp.arange(y.size).reshape(y.shape))
+        return jnp.sum(y * w)
+
+    return jax.grad(f, argnums=tuple(range(n)))(*args)
+
+
+@pytest.mark.parametrize("L", [32, 256, 2048])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("reverse", [False, True])
+def test_pallas_backward_kernel(L, dtype, reverse, monkeypatch):
+    """The hand-written Pallas reverse-scan backward (interpret mode) vs the
+    sequential reference, all 7 gradients, fp32 + bf16, both directions.
+    L=32 single-subchunk, 256 multi-subchunk, 2048 multi-chunk (dh carried
+    across grid steps). Asserts the kernel path actually ran (no silent
+    XLA-recompute fallback)."""
+    import vmambair_tpu.ops.pallas_scan as ps
+
+    calls = []
+    real = ps._scan_bwd_dl
+    monkeypatch.setattr(
+        ps, "_scan_bwd_dl",
+        lambda *a, **kw: calls.append(1) or real(*a, **kw),
+    )
+    dtype = jnp.dtype(dtype)
+    key = jax.random.PRNGKey(L + reverse)
+    batch, dim, N, G = 2, 16, 4, 2
+    args = make_inputs(key, batch, L, dim, N, G, dtype, True, True)
+
+    def ref(u, delta, A, B, C, D, bias):
+        if reverse:
+            return jnp.flip(
+                selective_scan_seq(
+                    jnp.flip(u, 1), jnp.flip(delta, 1), A, jnp.flip(B, 1),
+                    jnp.flip(C, 1), D, bias, delta_softplus=True,
+                ),
+                1,
+            )
+        return selective_scan_seq(u, delta, A, B, C, D, bias,
+                                  delta_softplus=True)
+
+    g_ref = _grads(ref, args, 7)
+    g_new = _grads(
+        lambda *a: selective_scan(
+            *a, delta_softplus=True, impl="pallas", interpret=True,
+            reverse=reverse,
+        ),
+        args, 7,
+    )
+    assert calls, "Pallas backward kernel was not used"
+    for a, b, name in zip(g_new, g_ref,
+                          ["du", "ddelta", "dA", "dB", "dC", "dD", "dbias"]):
+        check_close(a, b, dtype, f"bwd-kernel {name}", scale=5.0)
+
+
+def test_pallas_backward_kernel_multitile():
+    """dg > 256 forces d_tile < dim//G: the per-tile dB/dC partials must be
+    reduced within each group (`_scan_bwd_dl`)."""
+    from vmambair_tpu.ops.pallas_scan import bwd_scan_supported
+
+    key = jax.random.PRNGKey(5)
+    batch, L, dim, N, G = 1, 128, 512, 2, 1
+    assert bwd_scan_supported(L, dim, G, N)
+    args = make_inputs(key, batch, L, dim, N, G, jnp.float32, True, True)
+    g_ref = _grads(
+        lambda *a: selective_scan_seq(*a, delta_softplus=True), args, 7
+    )
+    g_new = _grads(
+        lambda *a: selective_scan(
+            *a, delta_softplus=True, impl="pallas", interpret=True
+        ),
+        args, 7,
+    )
+    for a, b, name in zip(g_new, g_ref,
+                          ["du", "ddelta", "dA", "dB", "dC", "dD", "dbias"]):
+        check_close(a, b, jnp.float32, f"multitile {name}", scale=5.0)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_fused_backward_kernel(reverse):
+    """Fused-op VJP through the Pallas backward kernel (multi-subchunk L)
+    vs the einsum+sequential composite."""
+    from vmambair_tpu.ops.pallas_scan import oss_scan_fused
+
+    args = _fused_inputs(jax.random.PRNGKey(23), 2, 256, 2, 8, 4, 3)
+
+    def loss(fn):
+        def f(*a):
+            y = fn(*a).astype(jnp.float32)
+            w = jnp.cos(0.37 * jnp.arange(y.size).reshape(y.shape))
+            return jnp.sum(y * w)
+        return jax.grad(f, argnums=tuple(range(6)))(*args)
+
+    g_new = loss(lambda *a: oss_scan_fused(*a, reverse=reverse,
+                                           interpret=True))
+    g_ref = loss(lambda *a: _fused_composite(*a, reverse=reverse))
+    for a, b, name in zip(g_new, g_ref,
+                          ["u2", "xw", "dw", "db", "A", "Ds"]):
+        check_close(a, b, jnp.float32, f"fused-bwd {name}", scale=5.0)
 
 
 def test_sequence_parallel_scan():

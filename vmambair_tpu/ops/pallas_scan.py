@@ -19,10 +19,20 @@ Design mapping:
   native: A[:, n] is (D, 1) over lanes, B[n, :] is (1, chunk) over sublanes.
 * fp32 scan state regardless of activation dtype (`fwd_kernel.cuh:39`,
   `selective_scan.cpp:167-168`).
-* Backward: rather than a hand-written reverse-scan kernel (the CUDA
-  `bwd_kernel.cuh` approach), the custom VJP recomputes through the chunked
-  XLA implementation — same save-only-chunk-carries memory policy, compiler-
-  scheduled.
+* Backward: a hand-written Pallas reverse-scan kernel mirroring the CUDA
+  backward (`cus/selective_scan_bwd_kernel.cuh:66-305`, `reverse_scan.cuh`):
+  the forward saves the recurrent state at every chunk boundary (the CUDA
+  `x` checkpoint array, `selective_scan.cpp:217-220`), and the backward
+  walks chunks in the opposite order, re-running the forward scan within
+  each chunk from the saved carry to recover h, reverse-scanning the output
+  cotangent dh_t = C_t*dy_t + a_{t+1}*dh_{t+1} with the same log-domain
+  Hillis-Steele (delta shifted by one; the cross-chunk edge decay is folded
+  into the carried dh), and accumulating all seven gradients in one pass.
+  The decay-weighted term uses the identity a_t*h_{t-1} = h_t - b_t, so no
+  extra exp stack or h shift is materialized. dA/dD/dbias come out as
+  per-batch partials (accumulated across the sequential chunk axis in VMEM,
+  reduced over batch outside); shapes the kernel cannot tile fall back to
+  recompute-through-XLA (`xla_equiv`).
 
 B/C groups (the reference calls the scan with K=4 directions folded into the
 channel axis and one B/C group per direction, `MambaSISR6_arch.py:409-424`)
@@ -62,7 +72,8 @@ LOG2E = 1.4426950408889634  # decays computed as exp2(A*log2e * sd)
 
 
 def _scan_kernel(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
-                 y_ref, h_ref, *, nstate, chunk, softplus, reverse=False):
+                 y_ref, h_ref, *, nstate, chunk, softplus, reverse=False,
+                 init=True):
     """One (batch, d_tile, chunk) grid step, (D, L) layout.
 
     Block shapes: u/d/y (1, Dt, chunk); A (N, Dt, 1) [pre-transposed];
@@ -85,11 +96,12 @@ def _scan_kernel(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
     d_state <= 256-class sizes like the CUDA reference
     (`cus/selective_scan.cpp:11,191`) at bounded VMEM.
     """
-    c_idx = pl.program_id(2)
+    if init:
+        c_idx = pl.program_id(2)
 
-    @pl.when(c_idx == 0)
-    def _():
-        h_ref[...] = jnp.zeros_like(h_ref)
+        @pl.when(c_idx == 0)
+        def _():
+            h_ref[...] = jnp.zeros_like(h_ref)
 
     d = d_ref[0].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
     if softplus:
@@ -123,7 +135,37 @@ def _scan_core(d, u, A_all, B_all, C_all, Dskip, h_ref, *, nstate, chunk,
     du = d * u
     y = Dskip * u  # (Dt, chunk)
 
-    dt = d.shape[0]
+    h0_all = h_ref[...].astype(jnp.float32)     # (N, Dt, 1)
+    carries = []
+    for n0 in range(0, nstate, MAX_N_STACK):
+        n1 = min(n0 + MAX_N_STACK, nstate)
+        # pre-scaled for exp2 (measured faster than exp on v5e; exact):
+        A_t = A_all[n0:n1] * LOG2E              # (nb, Dt, 1)
+        B_blk = B_all[n0:n1]                    # (nb, chunk)
+        C_blk = C_all[n0:n1]
+        b_full = du[None] * B_blk[:, None, :]   # (nb, Dt, chunk)
+        h_all, carry = _scan_block(
+            A_t, d, b_full, h0_all[n0:n1], reverse=reverse
+        )
+        carries.append(carry)
+        y = y + jnp.sum(C_blk[:, None, :] * h_all, axis=0)
+
+    h_ref[...] = (carries[0] if len(carries) == 1
+                  else jnp.concatenate(carries, axis=0))
+    return y
+
+
+def _scan_block(A_t, d, b_full, carry, *, reverse):
+    """Log-domain chunked inclusive scan for ONE <=MAX_N_STACK state block.
+
+    Computes h_t = exp2(A_t * d_t) * h_{t-1} + b_t (or the right-to-left
+    mirror h_t = exp2(A_t * d_t) * h_{t+1} + b_t when reverse) over the lane
+    axis. A_t (nb, Dt, 1) already scaled by LOG2E; d (Dt, chunk) fp32;
+    b_full (nb, Dt, chunk); carry (nb, Dt, 1) = h just outside the scanned
+    edge. Returns (h_all (nb, Dt, chunk), carry_out (nb, Dt, 1) = h at the
+    final scanned element).
+    """
+    nb, dt, chunk = b_full.shape
     sub = min(SUBCHUNK, chunk)
     n_steps = int(math.log2(sub))
     assert (1 << n_steps) == sub, "chunk must be a power of two"
@@ -132,82 +174,101 @@ def _scan_core(d, u, A_all, B_all, C_all, Dskip, h_ref, *, nstate, chunk,
     if reverse:
         sub_slices = sub_slices[::-1]
 
-    h0_all = h_ref[...].astype(jnp.float32)     # (N, Dt, 1)
-    carries = []
-    for n0 in range(0, nstate, MAX_N_STACK):
-        n1 = min(n0 + MAX_N_STACK, nstate)
-        nb = n1 - n0
-        # pre-scaled for exp2 (measured faster than exp on v5e; exact):
-        A_t = A_all[n0:n1] * LOG2E              # (nb, Dt, 1)
-        B_blk = B_all[n0:n1]                    # (nb, chunk)
-        C_blk = C_all[n0:n1]
-        b_full = du[None] * B_blk[:, None, :]   # (nb, Dt, chunk)
-        carry = h0_all[n0:n1]                   # (nb, Dt, 1)
-        pieces = []
-        for sl in sub_slices:
-            # the incoming carry h_{-1} is FOLDED into the boundary
-            # element: b_edge += a_edge * h_{-1} makes the plain inclusive
-            # scan of b produce h directly — this replaces the full-width
-            # P*carry combine (exp-mul + exp + FMA per element) with
-            # (nb, Dt, 1)-narrow ops at the subchunk edge
-            edge = sl.stop - 1 if reverse else sl.start
-            d_e = d[:, edge : edge + 1]
-            b_e = (b_full[:, :, edge : edge + 1]
-                   + jnp.exp2(A_t * d_e[None]) * carry)
-            if reverse:
-                b = jnp.concatenate(
-                    [b_full[:, :, sl.start : edge], b_e], axis=2)
-            else:
-                b = jnp.concatenate(
-                    [b_e, b_full[:, :, edge + 1 : sl.stop]], axis=2)
-            sd = d[:, sl]
-            for s in range(n_steps):
-                k = 1 << s
-                e = jnp.exp2(A_t * sd[None])  # a_k in (0, 1]
-                zb = jnp.zeros((nb, dt, k), jnp.float32)
-                if reverse:
-                    b_prev = jnp.concatenate([b[:, :, k:], zb], axis=2)
-                else:
-                    b_prev = jnp.concatenate([zb, b[:, :, :-k]], axis=2)
-                b = e * b_prev + b
-                if s < n_steps - 1:  # final sd only fed the old P combine
-                    zs = jnp.zeros((dt, k), jnp.float32)
-                    if reverse:
-                        sd = sd + jnp.concatenate([sd[:, k:], zs], axis=1)
-                    else:
-                        sd = sd + jnp.concatenate([zs, sd[:, :-k]], axis=1)
-            h_i = b
-            out_edge = 0 if reverse else sub - 1
-            carry = h_i[:, :, out_edge : out_edge + 1]
-            pieces.append(h_i)
-        carries.append(carry)
+    pieces = []
+    for sl in sub_slices:
+        # the incoming carry h_{-1} is FOLDED into the boundary
+        # element: b_edge += a_edge * h_{-1} makes the plain inclusive
+        # scan of b produce h directly — this replaces the full-width
+        # P*carry combine (exp-mul + exp + FMA per element) with
+        # (nb, Dt, 1)-narrow ops at the subchunk edge
+        edge = sl.stop - 1 if reverse else sl.start
+        d_e = d[:, edge : edge + 1]
+        b_e = (b_full[:, :, edge : edge + 1]
+               + jnp.exp2(A_t * d_e[None]) * carry)
         if reverse:
-            pieces = pieces[::-1]
-        h_all = (pieces[0] if len(pieces) == 1
-                 else jnp.concatenate(pieces, axis=2))
-        y = y + jnp.sum(C_blk[:, None, :] * h_all, axis=0)
-
-    h_ref[...] = (carries[0] if len(carries) == 1
-                  else jnp.concatenate(carries, axis=0))
-    return y
+            b = jnp.concatenate(
+                [b_full[:, :, sl.start : edge], b_e], axis=2)
+        else:
+            b = jnp.concatenate(
+                [b_e, b_full[:, :, edge + 1 : sl.stop]], axis=2)
+        sd = d[:, sl]
+        for s in range(n_steps):
+            k = 1 << s
+            e = jnp.exp2(A_t * sd[None])  # a_k in (0, 1]
+            zb = jnp.zeros((nb, dt, k), jnp.float32)
+            if reverse:
+                b_prev = jnp.concatenate([b[:, :, k:], zb], axis=2)
+            else:
+                b_prev = jnp.concatenate([zb, b[:, :, :-k]], axis=2)
+            b = e * b_prev + b
+            if s < n_steps - 1:  # final sd only fed the old P combine
+                zs = jnp.zeros((dt, k), jnp.float32)
+                if reverse:
+                    sd = sd + jnp.concatenate([sd[:, k:], zs], axis=1)
+                else:
+                    sd = sd + jnp.concatenate([zs, sd[:, :-k]], axis=1)
+        h_i = b
+        out_edge = 0 if reverse else sub - 1
+        carry = h_i[:, :, out_edge : out_edge + 1]
+        pieces.append(h_i)
+    if reverse:
+        pieces = pieces[::-1]
+    h_all = (pieces[0] if len(pieces) == 1
+             else jnp.concatenate(pieces, axis=2))
+    return h_all, carry
 
 
 @functools.lru_cache(maxsize=None)
 def _build_pallas_fwd(BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
-                      out_dtype_name, reverse=False):
+                      out_dtype_name, reverse=False, save_carries=False):
     out_dtype = jnp.dtype(out_dtype_name)
     n_chunks = L // chunk
     n_dtiles = dim // d_tile
     dg_tiles = (dim // G) // d_tile  # d-tiles per group
 
     grid = (BT, n_dtiles, n_chunks)
-    kernel = functools.partial(
-        _scan_kernel, nstate=N, chunk=chunk, softplus=softplus,
-        reverse=reverse,
-    )
+    if save_carries:
+        # training forward: additionally emit the state ENTERING each chunk
+        # (the CUDA checkpoint array `x`, `selective_scan.cpp:217-220`) for
+        # the backward kernel's per-chunk forward recompute
+        def kernel(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+                   y_ref, car_ref, h_ref):
+            c_idx = pl.program_id(2)
+
+            @pl.when(c_idx == 0)
+            def _():
+                h_ref[...] = jnp.zeros_like(h_ref)
+
+            car_ref[0, 0] = h_ref[...][:, :, 0]
+            _scan_kernel(
+                u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+                y_ref, h_ref, nstate=N, chunk=chunk, softplus=softplus,
+                reverse=reverse, init=False,
+            )
+    else:
+        kernel = functools.partial(
+            _scan_kernel, nstate=N, chunk=chunk, softplus=softplus,
+            reverse=reverse,
+        )
     # reverse: walk chunks back-to-front so the carry is causal
     cix = (lambda c: n_chunks - 1 - c) if reverse else (lambda c: c)
     flops = 9 * BT * L * dim * N
+
+    out_specs = pl.BlockSpec(
+        (1, d_tile, chunk), lambda b, dt, c: (b, dt, cix(c))
+    )
+    out_shape = jax.ShapeDtypeStruct((BT, dim, L), out_dtype)
+    if save_carries:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec(
+                (1, 1, N, d_tile), lambda b, dt, c: (b, cix(c), 0, dt)
+            ),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((BT, n_chunks, N, dim), jnp.float32),
+        ]
 
     def fwd(u, d, A, B4, C4, Dskip, bias):
         return pl.pallas_call(
@@ -232,10 +293,8 @@ def _build_pallas_fwd(BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
                 pl.BlockSpec((d_tile, 1), lambda b, dt, c: (dt, 0)),
                 pl.BlockSpec((d_tile, 1), lambda b, dt, c: (dt, 0)),
             ],
-            out_specs=pl.BlockSpec(
-                (1, d_tile, chunk), lambda b, dt, c: (b, dt, cix(c))
-            ),
-            out_shape=jax.ShapeDtypeStruct((BT, dim, L), out_dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((N, d_tile, 1), jnp.float32)],
             cost_estimate=pl.CostEstimate(
                 flops=flops,
@@ -376,13 +435,14 @@ def _build_pallas_fwd_ld(BT, L, dim, N, G, chunk, d_tile, softplus,
     return fwd
 
 
-def _pick_tiles(L, dim, G, N):
+def _pick_tiles(L, dim, G, N, budget_mb=None, stacks=4):
     """Choose (chunk, d_tile). States are processed in MAX_N_STACK blocks,
     so the live VMEM stacks are ~(b_full + h/temps) on (<=16, d_tile, chunk)
     fp32 plus a handful of (d_tile, chunk) tiles; keep that under ~32MB of
     the 128MB v5e VMEM so double-buffered input DMA has room. d_tile must
     divide the per-group channel count so each tile maps to one B/C
-    group."""
+    group. `stacks` models the number of live (nb, d_tile, chunk) buffers
+    (the backward holds more than the forward)."""
     dg = dim // G
     if dg <= 256:
         d_tile = dg
@@ -395,14 +455,26 @@ def _pick_tiles(L, dim, G, N):
     import os
 
     chunk = 1024 * int(os.environ.get("VMAMBAIR_SCAN_CHUNK_X", "1"))
-    budget = (
-        int(os.environ.get("VMAMBAIR_SCAN_VMEM_MB", "32")) * 1024 * 1024
-    )
-    while chunk > 8 and (4 * nb + 8) * d_tile * chunk * 4 > budget:
+    if budget_mb is None:
+        budget_mb = int(os.environ.get("VMAMBAIR_SCAN_VMEM_MB", "32"))
+    budget = budget_mb * 1024 * 1024
+    while chunk > 8 and (stacks * nb + 8) * d_tile * chunk * 4 > budget:
         chunk //= 2
     while chunk > 1 and L % chunk != 0:
         chunk //= 2
     return chunk, d_tile
+
+
+def _pick_tiles_bwd(L, dim, G, N):
+    """Tile choice for the backward kernel: it keeps ~8 state-stacks live
+    (b, h, bg, dh, w + scan temps), so the chunk shrinks at a larger budget."""
+    import os
+
+    return _pick_tiles(
+        L, dim, G, N,
+        budget_mb=int(os.environ.get("VMAMBAIR_SCAN_BWD_VMEM_MB", "64")),
+        stacks=8,
+    )
 
 
 def scan_supported(u_shape, n_groups, N, return_last_state=False, min_l=512):
@@ -422,6 +494,244 @@ def scan_supported(u_shape, n_groups, N, return_last_state=False, min_l=512):
     if chunk < 8 or dg % d_tile != 0:
         return False
     return True
+
+
+def _scan_bwd_kernel(u_ref, draw_ref, A_ref, B_ref, C_ref, Dskip_ref,
+                     bias_ref, dy_ref, hcar_ref,
+                     du_ref, ddel_ref, dB_ref, dC_ref, dA_ref, dD_ref,
+                     dbias_ref, dh_ref, *, nstate, chunk, softplus, reverse):
+    """One backward grid step (chunks walked OPPOSITE to the forward).
+
+    TPU rebuild of the CUDA backward (`cus/selective_scan_bwd_kernel.cuh:
+    66-305` + `reverse_scan.cuh`): per chunk, (1) re-run the forward scan
+    from the saved chunk carry to recover h, (2) reverse-scan the output
+    cotangent dh_t = C_t*dy_t + a_{t+1}*dh_{t+1} — same log-domain
+    Hillis-Steele with delta shifted one position toward the scan direction
+    (the cross-chunk edge decay is folded into the carried dh, so the edge
+    element's shifted delta is 0), (3) accumulate all gradients:
+
+        du     = delta * sum_n B_n dh_n + D * dy
+        ddelta = u * sum_n B_n dh_n + sum_n A_n * w_n,  w = dh*(h - b)
+                 [a_t*h_{t-1} == h_t - b_t: no h shift / extra exp needed]
+        dB_n   = sum_d delta*u*dh_n          dC_n = sum_d dy*h_n
+        dA_n  += sum_t delta * w_n           dD  += sum_t dy*u
+        dbias += sum_t ddelta_raw            (softplus chain via sigmoid)
+
+    dA/dD/dbias are per-(batch, tile) partials accumulated across the
+    sequential chunk axis in their VMEM blocks; the caller reduces over
+    batch. dB/dC come out per d-tile ((BT, n_dtiles, N, L)); the caller
+    sums tiles within each group.
+    """
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        dh_ref[...] = jnp.zeros_like(dh_ref)
+        dA_ref[...] = jnp.zeros_like(dA_ref)
+        dD_ref[...] = jnp.zeros_like(dD_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    draw = (draw_ref[0].astype(jnp.float32)
+            + bias_ref[...].astype(jnp.float32))
+    if softplus:
+        d = _softplus(draw)
+        sig = jax.nn.sigmoid(draw)
+    else:
+        d = draw
+        sig = None
+    u = u_ref[0].astype(jnp.float32)
+    dy = dy_ref[0].astype(jnp.float32)
+    du_el = d * u
+
+    # adjoint-scan decays: ds[t] = d[t+1] (forward orig) / d[t-1] (reverse
+    # orig); the scanned edge gets 0 (its decay is pre-folded into dh carry)
+    zcol = jnp.zeros((d.shape[0], 1), jnp.float32)
+    if reverse:
+        ds = jnp.concatenate([zcol, d[:, :-1]], axis=1)
+    else:
+        ds = jnp.concatenate([d[:, 1:], zcol], axis=1)
+    # position whose dh seeds the next (sequence-earlier) chunk's carry
+    edge = chunk - 1 if reverse else 0
+    d_e = d[:, edge : edge + 1]
+
+    A_all = A_ref[...].astype(jnp.float32)        # (N, Dt, 1)
+    B_all = B_ref[0, 0].astype(jnp.float32)       # (N, chunk)
+    C_all = C_ref[0, 0].astype(jnp.float32)
+    h0_all = hcar_ref[...][0, 0][:, :, None]      # (N, Dt, 1)
+    dh0_all = dh_ref[...].astype(jnp.float32)
+
+    sB = jnp.zeros_like(u)        # sum_n B_n * dh_n      (Dt, chunk)
+    dAw = jnp.zeros_like(u)       # sum_n A_n * w_n       (Dt, chunk)
+    dB_pieces, dC_pieces, dA_pieces, dh_next = [], [], [], []
+    for n0 in range(0, nstate, MAX_N_STACK):
+        n1 = min(n0 + MAX_N_STACK, nstate)
+        A_t = A_all[n0:n1] * LOG2E
+        B_blk = B_all[n0:n1]
+        C_blk = C_all[n0:n1]
+        b_full = du_el[None] * B_blk[:, None, :]  # (nb, Dt, chunk)
+        h_all, _ = _scan_block(
+            A_t, d, b_full, h0_all[n0:n1], reverse=reverse
+        )
+        bg = dy[None] * C_blk[:, None, :]
+        dh_all, _ = _scan_block(
+            A_t, ds, bg, dh0_all[n0:n1], reverse=not reverse
+        )
+        dh_next.append(
+            jnp.exp2(A_t * d_e[None]) * dh_all[:, :, edge : edge + 1]
+        )
+        w = dh_all * (h_all - b_full)             # = dh * a_t * h_prev
+        sB = sB + jnp.sum(B_blk[:, None, :] * dh_all, axis=0)
+        dAw = dAw + jnp.sum(A_all[n0:n1] * w, axis=0)
+        dB_pieces.append(jnp.sum(du_el[None] * dh_all, axis=1))
+        dC_pieces.append(jnp.sum(dy[None] * h_all, axis=1))
+        dA_pieces.append(jnp.sum(d[None] * w, axis=2))  # (nb, Dt)
+
+    dh_ref[...] = (dh_next[0] if len(dh_next) == 1
+                   else jnp.concatenate(dh_next, axis=0))
+    du = d * sB + Dskip_ref[...].astype(jnp.float32) * dy
+    ddelta = u * sB + dAw
+    if softplus:
+        ddelta = ddelta * sig
+    du_ref[0] = du.astype(du_ref.dtype)
+    ddel_ref[0] = ddelta.astype(ddel_ref.dtype)
+    dB_ref[0, 0] = (dB_pieces[0] if len(dB_pieces) == 1
+                    else jnp.concatenate(dB_pieces, axis=0)
+                    ).astype(dB_ref.dtype)
+    dC_ref[0, 0] = (dC_pieces[0] if len(dC_pieces) == 1
+                    else jnp.concatenate(dC_pieces, axis=0)
+                    ).astype(dC_ref.dtype)
+    dA_ref[0] += (dA_pieces[0] if len(dA_pieces) == 1
+                  else jnp.concatenate(dA_pieces, axis=0))
+    dD_ref[...] += jnp.sum(dy * u, axis=1)[None, :]
+    dbias_ref[...] += jnp.sum(ddelta, axis=1)[None, :]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_pallas_bwd(BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
+                      in_dtype_name, bc_dtype_name, dy_dtype_name,
+                      reverse=False):
+    n_chunks = L // chunk
+    n_dtiles = dim // d_tile
+    dg_tiles = (dim // G) // d_tile
+
+    grid = (BT, n_dtiles, n_chunks)
+    kernel = functools.partial(
+        _scan_bwd_kernel, nstate=N, chunk=chunk, softplus=softplus,
+        reverse=reverse,
+    )
+    # walk chunks opposite to the forward so the dh carry is causal
+    cox = (lambda c: c) if reverse else (lambda c: n_chunks - 1 - c)
+    in_dtype = jnp.dtype(in_dtype_name)
+    bc_dtype = jnp.dtype(bc_dtype_name)
+
+    def bwd(u, draw, A, B4, C4, Dskip, bias, dy, hcar):
+        seq_spec = pl.BlockSpec(
+            (1, d_tile, chunk), lambda b, dt, c: (b, dt, cox(c))
+        )
+        bc_spec = pl.BlockSpec(
+            (1, 1, N, chunk), lambda b, dt, c: (b, dt // dg_tiles, 0, cox(c))
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                seq_spec,
+                seq_spec,
+                pl.BlockSpec((N, d_tile, 1), lambda b, dt, c: (0, dt, 0)),
+                bc_spec,
+                bc_spec,
+                pl.BlockSpec((d_tile, 1), lambda b, dt, c: (dt, 0)),
+                pl.BlockSpec((d_tile, 1), lambda b, dt, c: (dt, 0)),
+                seq_spec,
+                pl.BlockSpec(
+                    (1, 1, N, d_tile), lambda b, dt, c: (b, cox(c), 0, dt)
+                ),
+            ],
+            out_specs=[
+                seq_spec,                                       # du
+                seq_spec,                                       # ddelta
+                pl.BlockSpec(                                   # dB partial
+                    (1, 1, N, chunk), lambda b, dt, c: (b, dt, 0, cox(c))
+                ),
+                pl.BlockSpec(                                   # dC partial
+                    (1, 1, N, chunk), lambda b, dt, c: (b, dt, 0, cox(c))
+                ),
+                pl.BlockSpec(                                   # dA partial
+                    (1, N, d_tile), lambda b, dt, c: (b, 0, dt)
+                ),
+                pl.BlockSpec((1, d_tile), lambda b, dt, c: (b, dt)),  # dD
+                pl.BlockSpec((1, d_tile), lambda b, dt, c: (b, dt)),  # dbias
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((BT, dim, L), in_dtype),
+                jax.ShapeDtypeStruct((BT, dim, L), in_dtype),
+                jax.ShapeDtypeStruct((BT, n_dtiles, N, L), bc_dtype),
+                jax.ShapeDtypeStruct((BT, n_dtiles, N, L), bc_dtype),
+                jax.ShapeDtypeStruct((BT, N, dim), jnp.float32),
+                jax.ShapeDtypeStruct((BT, dim), jnp.float32),
+                jax.ShapeDtypeStruct((BT, dim), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((N, d_tile, 1), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=22 * BT * L * dim * N,
+                bytes_accessed=(5 * BT * L * dim + 4 * BT * L * G * N) * 4,
+                transcendentals=2 * BT * L * dim * N,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(u, draw, A, B4, C4, Dskip, bias, dy, hcar)
+
+    return bwd
+
+
+def _scan_bwd_dl(u, draw, A, B, C, Dskip, bias, dy, hcar, *, softplus,
+                 interpret, reverse):
+    """Run the backward kernel in DL layout; reduce the partial outputs.
+
+    u/draw/dy (BT, dim, L); B/C (BT, G, N, L); A (dim, N) fp32;
+    hcar (BT, n_chunks, N, dim) from the carry-saving forward (same chunk).
+    Returns (du, ddelta_raw, dA, dB, dC, dD, dbias) in DL layouts.
+    """
+    BT, dim, L = u.shape
+    G, N = B.shape[1], A.shape[1]
+    chunk, d_tile = _pick_tiles_bwd(L, dim, G, N)
+    dg_tiles = (dim // G) // d_tile
+    bwd = _build_pallas_bwd(
+        BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
+        str(u.dtype), str(B.dtype), str(dy.dtype), reverse,
+    )
+    du, ddel, dBp, dCp, dAp, dDp, dbp = bwd(
+        u, draw, A.astype(jnp.float32).T[:, :, None], B, C,
+        Dskip.astype(jnp.float32).reshape(dim, 1),
+        bias.astype(jnp.float32).reshape(dim, 1), dy, hcar,
+    )
+    n_dtiles = dim // d_tile
+    if dg_tiles > 1:  # sum tile partials within each B/C group
+        dB = jnp.sum(
+            dBp.reshape(BT, G, dg_tiles, N, L).astype(jnp.float32), axis=2
+        ).astype(B.dtype)
+        dC = jnp.sum(
+            dCp.reshape(BT, G, dg_tiles, N, L).astype(jnp.float32), axis=2
+        ).astype(C.dtype)
+    else:
+        dB, dC = dBp, dCp
+    dA = jnp.sum(dAp, axis=0).T          # (dim, N)
+    dD = jnp.sum(dDp, axis=0)
+    dbias = jnp.sum(dbp, axis=0)
+    return du, ddel, dA, dB, dC, dD, dbias
+
+
+def bwd_scan_supported(L, dim, G, N):
+    """Whether the Pallas backward kernel can tile these shapes (else the
+    VJP falls back to recompute-through-XLA)."""
+    dg = dim // G
+    if dg % 8 != 0 or N > MAX_SCAN_N:
+        return False
+    chunk, d_tile = _pick_tiles_bwd(L, dim, G, N)
+    return chunk >= 8 and L % chunk == 0 and dg % d_tile == 0
 
 
 def selective_scan_dl(u, delta, A, B, C, Dskip, bias, *, softplus=True,
@@ -519,15 +829,74 @@ def _make_vjp_op(softplus: bool, interpret: bool, dl: bool,
         return fwd_impl(u, delta, A, B, C, Dskip, bias)
 
     def op_fwd(u, delta, A, B, C, Dskip, bias):
+        if dl:
+            BT, dim, L = u.shape
+            G = B.shape[1]
+        else:
+            BT, L, dim = u.shape
+            G = B.shape[2]
+        N = A.shape[1]
+        if bwd_scan_supported(L, dim, G, N):
+            # training forward: save the per-chunk state checkpoints for
+            # the Pallas backward kernel (chunk size = the backward's)
+            chunk, d_tile = _pick_tiles_bwd(L, dim, G, N)
+            fwd_c = _build_pallas_fwd(
+                BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
+                str(jnp.dtype(out_dtype_name or u.dtype)), reverse,
+                save_carries=True,
+            )
+            if dl:
+                u_dl, d_dl, B_dl, C_dl = u, delta, B, C
+            else:
+                u_dl = jnp.swapaxes(u, 1, 2)
+                d_dl = jnp.swapaxes(delta, 1, 2)
+                B_dl = jnp.moveaxis(B, 1, 3)
+                C_dl = jnp.moveaxis(C, 1, 3)
+            y_dl, hcar = fwd_c(
+                u_dl, d_dl, A.astype(jnp.float32).T[:, :, None], B_dl, C_dl,
+                Dskip.astype(jnp.float32).reshape(dim, 1),
+                bias.astype(jnp.float32).reshape(dim, 1),
+            )
+            y = y_dl if dl else jnp.swapaxes(y_dl, 1, 2)
+            return y, (u, delta, A, B, C, Dskip, bias, hcar)
         y = op(u, delta, A, B, C, Dskip, bias)
-        return y, (u, delta, A, B, C, Dskip, bias)
+        return y, (u, delta, A, B, C, Dskip, bias, None)
 
     def op_bwd(res, g):
-        # Backward via VJP of the (numerically matching) chunked XLA scan:
-        # recompute-in-backward, mirroring the reference's strategy of saving
-        # only chunk carries (`selective_scan.cpp:220`).
-        _, vjp = jax.vjp(xla_equiv, *res)
-        return vjp(g)
+        *args, hcar = res
+        if hcar is None:
+            # fallback: VJP of the (numerically matching) chunked XLA scan —
+            # recompute-in-backward, for shapes the kernel cannot tile
+            _, vjp = jax.vjp(xla_equiv, *args)
+            return vjp(g)
+        u, delta, A, B, C, Dskip, bias = args
+        if dl:
+            u_dl, d_dl, B_dl, C_dl, g_dl = u, delta, B, C, g
+        else:
+            u_dl = jnp.swapaxes(u, 1, 2)
+            d_dl = jnp.swapaxes(delta, 1, 2)
+            B_dl = jnp.moveaxis(B, 1, 3)
+            C_dl = jnp.moveaxis(C, 1, 3)
+            g_dl = jnp.swapaxes(g, 1, 2)
+        du, ddel, dA, dB, dC, dD, dbias = _scan_bwd_dl(
+            u_dl, d_dl, A.astype(jnp.float32), B_dl, C_dl,
+            Dskip, bias, g_dl, hcar,
+            softplus=softplus, interpret=interpret, reverse=reverse,
+        )
+        if not dl:
+            du = jnp.swapaxes(du, 1, 2)
+            ddel = jnp.swapaxes(ddel, 1, 2)
+            dB = jnp.moveaxis(dB, 3, 1)
+            dC = jnp.moveaxis(dC, 3, 1)
+        return (
+            du.astype(u.dtype),
+            ddel.astype(delta.dtype),
+            dA.astype(A.dtype),
+            dB.astype(B.dtype),
+            dC.astype(C.dtype),
+            dD.astype(Dskip.dtype).reshape(Dskip.shape),
+            dbias.astype(bias.dtype).reshape(bias.shape),
+        )
 
     op.defvjp(op_fwd, op_bwd)
     return op
@@ -542,7 +911,7 @@ def selective_scan_dl_vjp(u, delta, A, B, C, Dskip, bias, *, softplus=True,
 
 def _fused_kernel(u_ref, wxp_ref, wdt_ref, A_ref, Dskip_ref, bias_ref,
                   y_ref, h_ref, *, nstate, dt_rank, chunk, softplus,
-                  reverse=False):
+                  reverse=False, init=True):
     """Projection-fused grid step, (B, G, D, L) layout, grid (B, G, chunks).
 
     Fuses the reference's cross_selective_scan einsum chain
@@ -557,11 +926,12 @@ def _fused_kernel(u_ref, wxp_ref, wdt_ref, A_ref, Dskip_ref, bias_ref,
     A (1, N, D, 1); Dskip/bias (1, D, 1); y (1, 1, D, chunk);
     h scratch (N, D, 1) fp32.
     """
-    c_idx = pl.program_id(2)
+    if init:
+        c_idx = pl.program_id(2)
 
-    @pl.when(c_idx == 0)
-    def _():
-        h_ref[...] = jnp.zeros_like(h_ref)
+        @pl.when(c_idx == 0)
+        def _():
+            h_ref[...] = jnp.zeros_like(h_ref)
 
     u = u_ref[0, 0].astype(jnp.float32)  # (D, chunk)
     xdbl = jnp.dot(wxp_ref[0].astype(jnp.float32), u,
@@ -584,16 +954,50 @@ def _fused_kernel(u_ref, wxp_ref, wdt_ref, A_ref, Dskip_ref, bias_ref,
 
 @functools.lru_cache(maxsize=None)
 def _build_fused_fwd(BT, G, D, L, N, R, chunk, softplus, interpret,
-                     out_dtype_name, reverse=False):
+                     out_dtype_name, reverse=False, save_carries=False):
     out_dtype = jnp.dtype(out_dtype_name)
     n_chunks = L // chunk
     grid = (BT, G, n_chunks)
-    kernel = functools.partial(
-        _fused_kernel, nstate=N, dt_rank=R, chunk=chunk, softplus=softplus,
-        reverse=reverse,
-    )
+    if save_carries:
+        def kernel(u_ref, wxp_ref, wdt_ref, A_ref, Dskip_ref, bias_ref,
+                   y_ref, car_ref, h_ref):
+            c_idx = pl.program_id(2)
+
+            @pl.when(c_idx == 0)
+            def _():
+                h_ref[...] = jnp.zeros_like(h_ref)
+
+            car_ref[0, 0] = h_ref[...][:, :, 0]
+            _fused_kernel(
+                u_ref, wxp_ref, wdt_ref, A_ref, Dskip_ref, bias_ref,
+                y_ref, h_ref, nstate=N, dt_rank=R, chunk=chunk,
+                softplus=softplus, reverse=reverse, init=False,
+            )
+    else:
+        kernel = functools.partial(
+            _fused_kernel, nstate=N, dt_rank=R, chunk=chunk,
+            softplus=softplus, reverse=reverse,
+        )
     cix = (lambda c: n_chunks - 1 - c) if reverse else (lambda c: c)
     flops = 9 * BT * L * G * D * N + 2 * BT * L * G * D * (R + 2 * N + R)
+
+    out_specs = pl.BlockSpec(
+        (1, 1, D, chunk), lambda b, g, c: (b, g, 0, cix(c))
+    )
+    out_shape = jax.ShapeDtypeStruct((BT, G, D, L), out_dtype)
+    if save_carries:
+        # carries in the generic DL-backward's format: (BT, nc, N, G*D),
+        # group g owning the [g*D, (g+1)*D) channel stripe
+        out_specs = [
+            out_specs,
+            pl.BlockSpec(
+                (1, 1, N, D), lambda b, g, c: (b, cix(c), 0, g)
+            ),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((BT, n_chunks, N, G * D), jnp.float32),
+        ]
 
     def fwd(u_dl, wxp, wdt, A_t, Dskip, bias):
         return pl.pallas_call(
@@ -609,10 +1013,8 @@ def _build_fused_fwd(BT, G, D, L, N, R, chunk, softplus, interpret,
                 pl.BlockSpec((1, D, 1), lambda b, g, c: (g, 0, 0)),
                 pl.BlockSpec((1, D, 1), lambda b, g, c: (g, 0, 0)),
             ],
-            out_specs=pl.BlockSpec(
-                (1, 1, D, chunk), lambda b, g, c: (b, g, 0, cix(c))
-            ),
-            out_shape=jax.ShapeDtypeStruct((BT, G, D, L), out_dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((N, D, 1), jnp.float32)],
             cost_estimate=pl.CostEstimate(
                 flops=flops,
@@ -683,14 +1085,76 @@ def _make_fused_vjp_op(softplus: bool, interpret: bool, reverse: bool):
         return pallas_fwd(u2, xw, dw, db, A, Ds)
 
     def op_fwd(u2, xw, dw, db, A, Ds):
-        return op(u2, xw, dw, db, A, Ds), (u2, xw, dw, db, A, Ds)
+        b, l, g, d = u2.shape
+        N = A.shape[2]
+        R = dw.shape[2]
+        if bwd_scan_supported(l, g * d, g, N):
+            # training forward: fused kernel + chunk-carry checkpoints at
+            # the backward kernel's chunk size
+            chunk, _ = _pick_tiles_bwd(l, g * d, g, N)
+            fwd_c = _build_fused_fwd(
+                b, g, d, l, N, R, chunk, softplus, interpret,
+                str(u2.dtype), reverse, save_carries=True,
+            )
+            u_dl = jnp.transpose(u2, (0, 2, 3, 1))
+            A_t = jnp.transpose(A, (0, 2, 1))[..., None]
+            y_dl, hcar = fwd_c(
+                u_dl, xw, dw, A_t, Ds[..., None], db[..., None]
+            )
+            y = jnp.transpose(y_dl, (0, 3, 1, 2))
+            return y, (u2, xw, dw, db, A, Ds, hcar)
+        return op(u2, xw, dw, db, A, Ds), (u2, xw, dw, db, A, Ds, None)
 
     def op_bwd(res, gy):
-        # recompute-in-backward through the numerically matching XLA
-        # composite (same policy as `_make_vjp_op`; the CUDA reference's
-        # bwd re-runs the fwd scan per chunk, `bwd_kernel.cuh:119-125`)
-        _, vjp = jax.vjp(xla_equiv, *res)
-        return vjp(gy)
+        u2, xw, dw, db, A, Ds, hcar = res
+        if hcar is None:
+            # fallback: recompute-in-backward through the numerically
+            # matching XLA composite, for shapes the kernel cannot tile
+            _, vjp = jax.vjp(xla_equiv, *res[:6])
+            return vjp(gy)
+        # Pallas scan backward + XLA projection chain: the scan (the
+        # sequential 80% of the op) runs in the hand-written kernel; the
+        # projection cotangents are plain MXU einsums XLA fuses well.
+        b, l, g, d = u2.shape
+        N = A.shape[2]
+        R = dw.shape[2]
+        x_dbl = jnp.einsum("blgd,gcd->blgc", u2, xw)    # recompute (MXU)
+        dts_r = x_dbl[..., :R]
+        draw = jnp.einsum("blgr,gdr->blgd", dts_r, dw)
+        to_dl = lambda t: jnp.transpose(t, (0, 2, 3, 1)).reshape(
+            b, g * d, l
+        )
+        Bm = jnp.moveaxis(x_dbl[..., R : R + N], 1, 3)  # (B, G, N, L)
+        Cm = jnp.moveaxis(x_dbl[..., R + N :], 1, 3)
+        du_dl, ddel_dl, dA_f, dB_dl, dC_dl, dD_f, dbias_f = _scan_bwd_dl(
+            to_dl(u2), to_dl(draw), A.reshape(g * d, N),
+            Bm, Cm, Ds.reshape(-1), db.reshape(-1), to_dl(gy), hcar,
+            softplus=softplus, interpret=interpret, reverse=reverse,
+        )
+        from_dl = lambda t: jnp.transpose(
+            t.reshape(b, g, d, l), (0, 3, 1, 2)
+        )
+        ddts = from_dl(ddel_dl).astype(jnp.float32)     # (B, L, G, D)
+        ddw = jnp.einsum("blgd,blgr->gdr", ddts, dts_r)
+        ddts_r = jnp.einsum("blgd,gdr->blgr", ddts, dw)
+        dx_dbl = jnp.concatenate(
+            [ddts_r,
+             jnp.moveaxis(dB_dl, 3, 1).astype(jnp.float32),
+             jnp.moveaxis(dC_dl, 3, 1).astype(jnp.float32)], axis=-1,
+        )
+        du2 = from_dl(du_dl).astype(jnp.float32) + jnp.einsum(
+            "blgc,gcd->blgd", dx_dbl, xw
+        )
+        dxw = jnp.einsum("blgc,blgd->gcd", dx_dbl,
+                         u2.astype(jnp.float32))
+        return (
+            du2.astype(u2.dtype),
+            dxw.astype(xw.dtype),
+            ddw.astype(dw.dtype),
+            dbias_f.reshape(g, d).astype(db.dtype),
+            dA_f.reshape(g, d, N).astype(A.dtype),
+            dD_f.reshape(g, d).astype(Ds.dtype),
+        )
 
     op.defvjp(op_fwd, op_bwd)
     return op
@@ -726,12 +1190,41 @@ def selective_scan(
 ):
     """Selective scan with automatic implementation dispatch.
 
-    impl: 'auto' (pallas on TPU, xla elsewhere) | 'pallas' | 'xla' | 'seq'.
-    Layouts as in `selective_scan_xla` (channels-last: u (B,L,D); B/C
-    (B,L,G,N)). out_dtype: independent output dtype (the reference's
-    oflex variant, `cusoflex/selective_scan_fwd_kernel_oflex.cuh:19-24`);
-    None follows the input dtype.
+    impl: 'auto' (pallas on TPU, xla elsewhere) | 'pallas' | 'xla' | 'seq'
+    | 'sp' (sequence-parallel: L sharded over the ambient mesh installed
+    via `parallel.mesh.use_sp_mesh`; falls back to 'xla' when no mesh is
+    set or last-state output is requested). Layouts as in
+    `selective_scan_xla` (channels-last: u (B,L,D); B/C (B,L,G,N)).
+    out_dtype: independent output dtype (the reference's oflex variant,
+    `cusoflex/selective_scan_fwd_kernel_oflex.cuh:19-24`); None follows
+    the input dtype.
     """
+    if impl == "sp":
+        from ..parallel.mesh import default_sp_mesh
+
+        sp = default_sp_mesh()
+        if sp is None or return_last_state or (
+            u.shape[1] % sp[0].shape[sp[1]] != 0
+        ):
+            impl = "xla"
+        else:
+            from ..parallel.sp_scan import selective_scan_sp
+
+            mesh, axis = sp
+            if reverse:
+                y = jnp.flip(selective_scan_sp(
+                    jnp.flip(u, 1), jnp.flip(delta, 1), A, jnp.flip(B, 1),
+                    jnp.flip(C, 1), D, delta_bias, delta_softplus,
+                    mesh=mesh, axis=axis,
+                ), 1)
+            else:
+                y = selective_scan_sp(
+                    u, delta, A, B, C, D, delta_bias, delta_softplus,
+                    mesh=mesh, axis=axis,
+                )
+            if out_dtype is not None:
+                y = y.astype(jnp.dtype(out_dtype))
+            return y
     if out_dtype is not None and impl in ("seq", "xla"):
         y = selective_scan(
             u, delta, A, B, C, D, delta_bias, delta_softplus,
