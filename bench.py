@@ -35,6 +35,175 @@ ITERS = 17
 REPEATS = 3
 
 
+def bench_train_step(net, params):
+    """Training-step throughput (VERDICT r2 #1): jitted L1 value_and_grad +
+    adam on MambaSISR6 at the S1 recipe shapes (256^2 GT crops, batch
+    8/chip, `SRGAN/options/MambaSISR15_x4.yml:29-31`), chained-fori
+    protocol. Also times the forward-only loss under the same protocol to
+    report the backward/forward ratio (Pallas reverse-scan backward kernel
+    vs the pre-r3 ~20x XLA recompute)."""
+    try:
+        import optax
+
+        lq = jax.random.uniform(jax.random.PRNGKey(1), (8, 64, 64, 3),
+                                jnp.float32)
+        gt = jax.random.uniform(jax.random.PRNGKey(2), (8, 256, 256, 3),
+                                jnp.float32)
+        tx = optax.adam(2e-4)
+        opt_state = tx.init(params)
+
+        def loss_fn(p, lq, gt):
+            y = net.apply(p, lq)
+            return jnp.mean(jnp.abs(y.astype(jnp.float32) - gt))
+
+        def step(params, opt_state, lq, gt):
+            loss, grads = jax.value_and_grad(loss_fn)(params, lq, gt)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        n = 6
+
+        @jax.jit
+        def run_train(params, opt_state, lq, gt):
+            def body(i, c):
+                p, o, _ = step(c[0], c[1], lq + c[2] * 1e-9, gt)
+                return (p, o, c[2] + 1.0)
+            p, o, _ = jax.lax.fori_loop(
+                0, n - 1, body, (params, opt_state, 0.0))
+            return step(p, o, lq, gt)
+
+        @jax.jit
+        def run_fwd(params, lq, gt):
+            def body(i, c):
+                return (c[0] + loss_fn(params, lq + c[1] * 1e-9, gt), c[1] + 1.0)
+            acc, _ = jax.lax.fori_loop(0, n - 1, body, (0.0, 0.0))
+            return acc + loss_fn(params, lq, gt)
+
+        def timed(fn, fetch, *args):
+            jax.block_until_ready(fn(*args))  # compile
+            ts = []
+            for rep in range(REPEATS):
+                lqr = jax.random.uniform(
+                    jax.random.PRNGKey(50 + rep), (8, 64, 64, 3),
+                    jnp.float32)
+                jax.block_until_ready(lqr)
+                a = (args[0],) + args[1:-2] + (lqr, args[-1])
+                t0 = time.perf_counter()
+                out = fn(*a)
+                _ = fetch(out)
+                jax.block_until_ready(out)
+                ts.append(time.perf_counter() - t0)
+            return min(ts) / n
+
+        t_train = timed(run_train, lambda o: float(o[2]),
+                        params, opt_state, lq, gt)
+        t_fwd = timed(run_fwd, float, params, lq, gt)
+        return {
+            "train_step_ms": round(t_train * 1e3, 2),
+            "train_mps": round(8 * 256 * 256 / t_train / 1e6, 3),
+            "fwd_loss_ms": round(t_fwd * 1e3, 2),
+            "bwd_fwd_ratio": round(max(t_train - t_fwd, 0.0) / t_fwd, 2),
+        }
+    except Exception as e:  # noqa: BLE001
+        return {"train_step_error": repr(e)[:200]}
+
+
+# VPU work per scan element of the current log-domain kernel: 7 Hillis
+# combines (exp2 + FMA) at SUBCHUNK=128; everything else (sd updates,
+# shifts, carry folds, b build, C contraction, DMA) is overhead ON TOP, so
+# 7 pure combines/element is the formulation's speed-of-light.
+COMBINES_PER_ELEM = 7
+
+
+def bench_roofline(net, params, x, measured_mps):
+    """Computed ceiling for the current kernel formulation (VERDICT r2 #3).
+
+    1. Counts the model's scan elements (b*l*d*n summed over every scan
+       call) per output pixel by abstract-evaluating the forward with
+       counting wrappers (no compute).
+    2. Measures the VPU rate of the kernel's dominant primitive — the
+       Hillis combine b = exp2(a*s)*b' + b — with a dependent in-register
+       chain (compute-bound, no HBM traffic in the loop).
+    3. roofline_mps = combine_rate / (7 combines/elem * elems/out-px):
+       the throughput IF the kernel did nothing but its 7 combines.
+    """
+    try:
+        import vmambair_tpu.models.oss as oss_mod
+
+        counts = {"elems": 0}
+        real_ss = oss_mod.selective_scan
+        real_fused = oss_mod.oss_scan_fused
+
+        def count_ss(u, delta, A, B, C, *a, **kw):
+            counts["elems"] += (
+                u.shape[0] * u.shape[1] * u.shape[2] * A.shape[1]
+            )
+            return real_ss(u, delta, A, B, C, *a, **kw)
+
+        def count_fused(u2, xw, dw, db, A, Ds, **kw):
+            b, l, g, d = u2.shape
+            counts["elems"] += b * l * g * d * A.shape[2]
+            return real_fused(u2, xw, dw, db, A, Ds, **kw)
+
+        oss_mod.selective_scan = count_ss
+        oss_mod.oss_scan_fused = count_fused
+        try:
+            jax.eval_shape(net.apply, params, x)
+        finally:
+            oss_mod.selective_scan = real_ss
+            oss_mod.oss_scan_fused = real_fused
+        out_px = x.shape[0] * (x.shape[1] * SCALE) * (x.shape[2] * SCALE)
+        elems_per_px = counts["elems"] / out_px
+
+        # dependent-chain combine probe: state stays in registers/VMEM
+        probe_shape = (8, 512, 1024)  # 16MB fp32: VMEM-resident per fusion
+        K = 32
+
+        @jax.jit
+        def probe(b0, s, a):
+            def body(i, b):
+                # per-iteration scalar keeps the full-width mul + exp2
+                # inside the loop (no LICM hoist); matches the combine's
+                # op mix: mul, exp2, mul, add
+                e = jnp.exp2(s * (a + 1e-6 * i))
+                return e * b + b0
+            return jax.lax.fori_loop(0, K, body, b0)
+
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        b0 = jax.random.normal(ks[0], probe_shape, jnp.float32)
+        s = -jnp.abs(jax.random.normal(ks[1], probe_shape, jnp.float32))
+        a = jnp.float32(0.7)
+        jax.block_until_ready(probe(b0, s, a))
+        ts = []
+        for rep in range(REPEATS):
+            b0r = jax.random.normal(
+                jax.random.PRNGKey(60 + rep), probe_shape, jnp.float32)
+            jax.block_until_ready(b0r)
+            t0 = time.perf_counter()
+            out = probe(b0r, s, a)
+            _ = float(out[0, 0, 0])
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        n_elems = probe_shape[0] * probe_shape[1] * probe_shape[2]
+        combine_rate = n_elems * K / min(ts)  # combines/s
+
+        roofline = combine_rate / (COMBINES_PER_ELEM * elems_per_px) / 1e6
+        return {
+            "elems_per_out_px": round(elems_per_px, 1),
+            "combine_rate_gelem_s": round(combine_rate / 1e9, 2),
+            "roofline_mps": round(roofline, 2),
+            "roofline_achieved_frac": round(measured_mps / roofline, 3),
+            "roofline_note": (
+                "ceiling if the scan kernel executed ONLY its 7 log-domain "
+                "Hillis combines per element at the measured VPU combine "
+                "rate — sd updates, shifts, folds, projections, layout "
+                "changes and DMA all push the real kernel below it"
+            ),
+        }
+    except Exception as e:  # noqa: BLE001
+        return {"roofline_error": repr(e)[:200]}
+
+
 def main():
     import os
 
@@ -105,33 +274,82 @@ def main():
 
     # on-chip compiled-kernel parity: Pallas vs chunked-XLA scan at a hot
     # shape (the CPU suite only exercises interpret mode; this catches
-    # Mosaic-compile divergence, VERDICT r1 Missing #4)
-    parity_rel = None
+    # Mosaic-compile divergence, VERDICT r1 Missing #4). Three cases
+    # (VERDICT r2 #4): unfused bf16, unfused FP32 (tolerance ~100x tighter
+    # than the bf16 ladder — catches Mosaic miscompiles bf16 noise hides),
+    # and the FUSED kernel the benchmarked model actually runs.
+    parity_rel = parity_rel_f32 = parity_rel_fused = None
     try:
         from vmambair_tpu.ops.pallas_scan import selective_scan
 
-        ks = jax.random.split(jax.random.PRNGKey(9), 6)
-        pb, pl_, pd, pn, pg = 2, 4096, 192, 16, 2
-        u = jax.random.normal(ks[0], (pb, pl_, pd), jnp.bfloat16)
-        delta = 0.5 * jax.random.uniform(ks[1], (pb, pl_, pd), jnp.bfloat16)
-        A = -0.5 - jnp.exp(jax.random.normal(ks[2], (pd, pn)) * 0.5)
-        Bm = jax.random.normal(ks[3], (pb, pl_, pg, pn), jnp.bfloat16)
-        Cm = jax.random.normal(ks[4], (pb, pl_, pg, pn), jnp.bfloat16)
-        Dv = jax.random.normal(ks[5], (pd,), jnp.float32)
-        args = (u, delta, A, Bm, Cm, Dv)
-        y_p = jax.jit(
-            lambda *a: selective_scan(*a, delta_softplus=True,
-                                      impl="pallas")
-        )(*args)
-        y_x = jax.jit(
-            lambda *a: selective_scan(*a, delta_softplus=True, impl="xla")
-        )(*args)
-        num = float(jnp.max(jnp.abs(
-            y_p.astype(jnp.float32) - y_x.astype(jnp.float32))))
-        den = float(jnp.max(jnp.abs(y_x.astype(jnp.float32)))) + 1e-9
-        parity_rel = round(num / den, 6)
+        def unfused_parity(dtype):
+            ks = jax.random.split(jax.random.PRNGKey(9), 6)
+            pb, pl_, pd, pn, pg = 2, 4096, 192, 16, 2
+            u = jax.random.normal(ks[0], (pb, pl_, pd), dtype)
+            delta = 0.5 * jax.random.uniform(ks[1], (pb, pl_, pd), dtype)
+            A = -0.5 - jnp.exp(jax.random.normal(ks[2], (pd, pn)) * 0.5)
+            Bm = jax.random.normal(ks[3], (pb, pl_, pg, pn), dtype)
+            Cm = jax.random.normal(ks[4], (pb, pl_, pg, pn), dtype)
+            Dv = jax.random.normal(ks[5], (pd,), jnp.float32)
+            args = (u, delta, A, Bm, Cm, Dv)
+            y_p = jax.jit(
+                lambda *a: selective_scan(*a, delta_softplus=True,
+                                          impl="pallas")
+            )(*args)
+            y_x = jax.jit(
+                lambda *a: selective_scan(*a, delta_softplus=True,
+                                          impl="xla")
+            )(*args)
+            num = float(jnp.max(jnp.abs(
+                y_p.astype(jnp.float32) - y_x.astype(jnp.float32))))
+            den = float(jnp.max(jnp.abs(y_x.astype(jnp.float32)))) + 1e-9
+            return round(num / den, 8)
+
+        parity_rel = unfused_parity(jnp.bfloat16)
+        parity_rel_f32 = unfused_parity(jnp.float32)
     except Exception:  # noqa: BLE001
         pass
+    try:
+        from vmambair_tpu.ops.pallas_scan import oss_scan_fused
+
+        ks = jax.random.split(jax.random.PRNGKey(11), 6)
+        fb, fl, fg, fd, fn, fr = 2, 4096, 2, 96, 16, 6
+        u2 = jax.random.normal(ks[0], (fb, fl, fg, fd), jnp.bfloat16)
+        xw = jax.random.normal(ks[1], (fg, fr + 2 * fn, fd),
+                               jnp.float32) * 0.2
+        dw = jax.random.normal(ks[2], (fg, fd, fr), jnp.float32) * 0.2
+        db = 0.1 * jax.random.normal(ks[3], (fg, fd), jnp.float32)
+        Af = -0.5 - jnp.exp(jax.random.normal(ks[4], (fg, fd, fn)) * 0.5)
+        Dsf = jax.random.normal(ks[5], (fg, fd), jnp.float32)
+        fargs = (u2, xw, dw, db, Af, Dsf)
+        y_f = jax.jit(lambda *a: oss_scan_fused(*a))(*fargs)
+
+        from vmambair_tpu.ops.selective_scan import selective_scan_xla
+
+        def fused_composite(u2, xw, dw, db, A, Ds):
+            b, l, g, d = u2.shape
+            N = A.shape[2]
+            R = dw.shape[2]
+            x_dbl = jnp.einsum("blgd,gcd->blgc", u2, xw)
+            dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+            dts = jnp.einsum("blgr,gdr->blgd", dts, dw)
+            y = selective_scan_xla(
+                u2.reshape(b, l, g * d), dts.reshape(b, l, g * d),
+                A.reshape(g * d, N), Bs, Cs, Ds.reshape(-1),
+                db.reshape(-1), delta_softplus=True,
+            )
+            return y.reshape(b, l, g, d).astype(u2.dtype)
+
+        y_c = jax.jit(fused_composite)(*fargs)
+        num = float(jnp.max(jnp.abs(
+            y_f.astype(jnp.float32) - y_c.astype(jnp.float32))))
+        den = float(jnp.max(jnp.abs(y_c.astype(jnp.float32)))) + 1e-9
+        parity_rel_fused = round(num / den, 8)
+    except Exception:  # noqa: BLE001
+        pass
+
+    train = bench_train_step(net, params)
+    roofline = bench_roofline(net, params, x, mps)
 
     print(json.dumps({
         "metric": "x4_sr_tiled_inference_throughput",
@@ -143,7 +361,11 @@ def main():
             "seconds": round(dt, 3), "t_one": round(t_one, 3),
             "checksum": checksum,
             "mfu_pct_v5e_bf16": mfu_pct,
+            **train,
+            **roofline,
             "kernel_parity_rel_err_compiled": parity_rel,
+            "kernel_parity_rel_err_compiled_fp32": parity_rel_f32,
+            "kernel_parity_rel_err_compiled_fused": parity_rel_fused,
             "baseline_note": (
                 "A100 baseline (10 MP/s) is an ESTIMATE from the model's "
                 "~8 MFLOP/px + eager scan-chain launch overhead, NOT a "

@@ -74,6 +74,14 @@ def convert_block(src: dict, prefix: str, dst: dict):
             "out_norm": norm_entry(src, f"{a}.out_norm"),
         },
     }
+    # RealSR11 low-rank pair (`MambaRealSR11_arch.py:613-614`):
+    # in_rank 1x1 conv -> Conv2d wrapper; out_rank nn.Linear (out, in)
+    # -> flax Dense kernel (in, out)
+    if f"{a}.in_rank.weight" in src:
+        attn["in_rank"] = conv_entry(src, f"{a}.in_rank")
+        attn["out_rank"] = {
+            "kernel": np.transpose(src[f"{a}.out_rank.weight"], (1, 0))
+        }
     channel = {
         "xc_proj_weight": src.get(f"{a}.xc_proj_weight"),
         "dtc_projs_weight": src.get(f"{a}.dtc_projs_weight"),

@@ -32,6 +32,21 @@ import jax.numpy as jnp  # noqa: E402
 REF_ARCH = "/root/reference/SRGAN/VmambaIR/archs/MambaSISR6_arch.py"
 REF_COMMON = "/root/reference/SRGAN/VmambaIR/archs/common.py"
 
+# every reference generator arch, with the common.py its harness ships
+REF_ARCHS = {
+    "MambaSISR6": (REF_ARCH, REF_COMMON, "MambaSISR6"),
+    "MambaRealSR11": (
+        "/root/reference/RealSR/VmambaIR/archs/MambaRealSR11_arch.py",
+        "/root/reference/RealSR/VmambaIR/archs/common.py",
+        "MambaRealSR11",
+    ),
+    "Mamber33": (
+        "/root/reference/Deraining/basicsr/models/archs/mamber33_arch.py",
+        None,
+        "Mamber33",
+    ),
+}
+
 sys.path.insert(
     0, os.path.join(os.path.dirname(__file__), os.pardir, "scripts")
 )
@@ -113,9 +128,10 @@ def test_scan_matches_torch_reference(impl):
     np.testing.assert_allclose(y_j, y_t, rtol=2e-4, atol=2e-4)
 
 
-def _load_reference_arch():
-    """Import the reference arch file with stubs for the modules this image
+def _load_reference_arch(name: str = "MambaSISR6"):
+    """Import a reference arch file with stubs for the modules this image
     lacks (CUDA scan ext, fvcore, basicsr registry)."""
+    arch_path, common_path, _cls = REF_ARCHS[name]
     sscc = types.ModuleType("selective_scan_cuda_core")
     sys.modules["selective_scan_cuda_core"] = sscc
     fv = types.ModuleType("fvcore")
@@ -143,21 +159,22 @@ def _load_reference_arch():
     sys.modules["basicsr.utils"] = bsu
     sys.modules["basicsr.utils.registry"] = bsr
 
-    vm = types.ModuleType("VmambaIR")
-    vma = types.ModuleType("VmambaIR.archs")
-    spec_c = importlib.util.spec_from_file_location(
-        "VmambaIR.archs.common", REF_COMMON
-    )
-    common = importlib.util.module_from_spec(spec_c)
-    spec_c.loader.exec_module(common)
-    vma.common = common
-    vm.archs = vma
-    sys.modules["VmambaIR"] = vm
-    sys.modules["VmambaIR.archs"] = vma
-    sys.modules["VmambaIR.archs.common"] = common
+    if common_path:
+        vm = types.ModuleType("VmambaIR")
+        vma = types.ModuleType("VmambaIR.archs")
+        spec_c = importlib.util.spec_from_file_location(
+            "VmambaIR.archs.common", common_path
+        )
+        common = importlib.util.module_from_spec(spec_c)
+        spec_c.loader.exec_module(common)
+        vma.common = common
+        vm.archs = vma
+        sys.modules["VmambaIR"] = vm
+        sys.modules["VmambaIR.archs"] = vma
+        sys.modules["VmambaIR.archs.common"] = common
 
     spec = importlib.util.spec_from_file_location(
-        "ref_mambasisr6", REF_ARCH
+        f"ref_{name.lower()}", arch_path
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
@@ -166,31 +183,28 @@ def _load_reference_arch():
     return mod
 
 
-@pytest.mark.skipif(
-    not os.path.exists(REF_ARCH), reason="reference snapshot not present"
-)
-def test_torch_weight_transport_forward_parity():
-    """Random-init torch MambaSISR6 -> convert_torch_weights -> OSSNet:
-    forward outputs must match (this validates every name/layout mapping in
-    the converter against real reference modules, not synthetic dicts)."""
+def _transport_parity(arch_name, torch_cfg, jax_net_opt, x_hw=16,
+                      tol=1e-4):
+    """Random-init torch reference arch -> convert_torch_weights ->
+    our network: forward outputs must match on identical inputs. Returns
+    the max relative error."""
     from convert_torch_weights import convert
 
     from vmambair_tpu.models import build_network
 
-    mod = _load_reference_arch()
+    mod = _load_reference_arch(arch_name)
     torch.manual_seed(0)
-    cfg = dict(dim=8, num_blocks=[1, 1, 1, 1], num_refinement_blocks=1,
-               scale=4)
-    net_t = mod.MambaSISR6(**cfg)
+    cls = getattr(mod, REF_ARCHS[arch_name][2])
+    net_t = cls(**torch_cfg)
     net_t.eval()
-    x_t = torch.rand(1, 3, 16, 16)
+    x_t = torch.rand(1, 3, x_hw, x_hw)
     with torch.no_grad():
         y_t = net_t(x_t).numpy()
 
     state = {k: v.detach().numpy() for k, v in net_t.state_dict().items()}
     converted = convert(state)
 
-    net_j = build_network(dict(type="OSSNet", scan_impl="xla", **cfg))
+    net_j = build_network(dict(scan_impl="xla", **jax_net_opt))
     x_j = jnp.asarray(np.transpose(x_t.numpy(), (0, 2, 3, 1)))
     target = net_j.init(jax.random.PRNGKey(0), x_j)
 
@@ -204,4 +218,74 @@ def test_torch_weight_transport_forward_parity():
     )
     assert y_t.shape == y_j.shape
     rel = np.max(np.abs(y_j - y_t)) / (np.max(np.abs(y_t)) + 1e-9)
-    assert rel < 1e-4, f"weight-transport relative error {rel}"
+    assert rel < tol, f"{arch_name} weight-transport relative error {rel}"
+    return rel
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REF_ARCH), reason="reference snapshot not present"
+)
+def test_torch_weight_transport_forward_parity():
+    """Tiny-config transport parity (fast CI guard for the converter's
+    name/layout mapping against the real reference module)."""
+    _transport_parity(
+        "MambaSISR6",
+        dict(dim=8, num_blocks=[1, 1, 1, 1], num_refinement_blocks=1,
+             scale=4),
+        dict(type="OSSNet", dim=8, num_blocks=[1, 1, 1, 1],
+             num_refinement_blocks=1, scale=4),
+    )
+
+
+# Full-scale parity (VERDICT r2 #5): the SHIPPED config sizes of all three
+# generator families vs their reference arch files — the substantiation of
+# the 0.05 dB budget. fp32 error compounds over the 30+ blocks, so the
+# bound is looser than the tiny case but far inside the dB budget.
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.exists(REF_ARCH), reason="reference snapshot not present"
+)
+def test_torch_parity_mamba_sisr6_full_size():
+    """MambaSISR6 at the shipped size (dim 48, [15,1,1,1]+15 refinement,
+    `SRGAN/options/MambaSISR15_x4.yml:55-62`)."""
+    _transport_parity(
+        "MambaSISR6",
+        dict(dim=48, num_blocks=[15, 1, 1, 1], num_refinement_blocks=15,
+             scale=4),
+        dict(type="MambaSISR6"),
+        tol=1e-3,
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.exists(REF_ARCHS["MambaRealSR11"][0]),
+    reason="reference snapshot not present",
+)
+def test_torch_parity_mamba_realsr11_full_size():
+    """MambaRealSR11 at the shipped size ([6,2,2,1]+6, low-rank SS2D +
+    direct channel scan, `RealSR/options/mambaSR11_x4.yml:82-92`)."""
+    _transport_parity(
+        "MambaRealSR11",
+        dict(dim=48, num_blocks=[6, 2, 2, 1], num_refinement_blocks=6,
+             scale=4),
+        dict(type="MambaRealSR11"),
+        tol=1e-3,
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.exists(REF_ARCHS["Mamber33"][0]),
+    reason="reference snapshot not present",
+)
+def test_torch_parity_mamber33_full_size():
+    """Mamber33 at the shipped deraining size ([3,5,7,9]+2, conv2 channel
+    variant, multiplicative attention)."""
+    _transport_parity(
+        "Mamber33",
+        dict(dim=48, num_blocks=[3, 5, 7, 9], num_refinement_blocks=2),
+        dict(type="Mamber33"),
+        tol=1e-3,
+    )

@@ -383,6 +383,24 @@ def test_pipeline_auto_resume_restores_generator(tmp_path):
     assert any(np.abs(np.asarray(l)).max() > 0 for l in mu)
 
 
+def test_pipeline_profile_dir_hook(tmp_path):
+    """`train: profile_dir:` wires jax.profiler into the loop (SURVEY §5
+    tracing): the configured window produces a trace dump on disk."""
+    from vmambair_tpu.train.pipeline import train_pipeline
+
+    gt_dir, lq_dir = _write_paired_fixtures(str(tmp_path))
+    opt = _tiny_pipeline_opt(tmp_path, gt_dir, lq_dir, total_iter=3)
+    trace_dir = os.path.join(str(tmp_path), "trace")
+    opt["train"]["profile_dir"] = trace_dir
+    opt["train"]["profile_start"] = 2
+    opt["train"]["profile_iters"] = 1
+    train_pipeline(str(tmp_path), opt=opt)
+    dumped = []
+    for root, _dirs, files in os.walk(trace_dir):
+        dumped += [f for f in files if "trace" in f or f.endswith(".pb")]
+    assert dumped, f"no trace artifacts under {trace_dir}"
+
+
 def test_train_loader_batch_scales_with_devices(tmp_path):
     """Global train batch = batch_size_per_gpu x resolved device count
     (reference recipe: 8/GPU x 8 DDP procs = 64, `MambaSISR15_x4.yml:30` +

@@ -171,6 +171,26 @@ def test_lpips_dists_relative_ordering():
         assert metric(img, img) == min(metric(img, img), d_near)
 
 
+def test_dists_published_heads_out_of_the_box():
+    """DISTS loads the vendored published alpha/beta calibration (converted
+    from the reference's in-tree `DISTS_pytorch/weights.pt`,
+    `DISTS_pt.py:20-35`) by default: learned per-channel weighting, not the
+    uniform fallback."""
+    import numpy as np
+
+    from vmambair_tpu.metrics.dists import DISTS
+
+    m = DISTS()
+    assert m.heads_pretrained
+    assert m.alpha is not None and m.alpha.shape == (1, 1475)
+    # the published buffers are normalized jointly at use time; their raw
+    # sums are the weights.pt values
+    total = float(np.sum(np.asarray(m.alpha)) + np.sum(np.asarray(m.beta)))
+    np.testing.assert_allclose(total, 1.0, rtol=1e-5)
+    # weighting must be non-uniform (distinguishes from the fallback)
+    assert float(np.std(np.asarray(m.alpha))) > 1e-5
+
+
 def test_niqe_works_out_of_the_box():
     """NIQE runs with the vendored pristine-model params (data asset
     published with basicsr, `Deraining/basicsr/metrics/niqe_pris_params.npz`)

@@ -189,6 +189,33 @@ def bench_kernel():
     report("pallas_kernel_dl", t, work_elems=B * L * G * D * N)
 
 
+def bench_kernel_bwd():
+    """Raw scan VJP cost at the hot shape: fwd-only loss vs fwd+grad
+    through the Pallas backward kernel — reports the bwd/fwd ratio
+    (pre-r3 XLA-recompute backward measured ~20x the forward)."""
+    from vmambair_tpu.ops.pallas_scan import selective_scan
+
+    def fwd_only(u, delta, A, Bm, Cm, Dv, bias):
+        y = selective_scan(u, delta, A, Bm, Cm, Dv, bias,
+                           delta_softplus=True, impl="pallas")
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    def with_grad(u, delta, A, Bm, Cm, Dv, bias):
+        l, g = jax.value_and_grad(fwd_only, argnums=(0, 1))(
+            u, delta, A, Bm, Cm, Dv, bias)
+        return l + jnp.sum(g[0].astype(jnp.float32)[0, 0, :2])
+
+    def chain(y, u, *rest):
+        return (u * (1.0 + 1e-9 * y).astype(u.dtype),) + rest
+
+    t_f = timed(fwd_only, lambda s: _scan_inputs(s), chain=chain)
+    t_g = timed(with_grad, lambda s: _scan_inputs(s), chain=chain)
+    report("scan_fwd_loss", t_f, work_elems=B * L * G * D * N)
+    report("scan_fwd_plus_grad", t_g, work_elems=B * L * G * D * N)
+    print(json.dumps({"piece": "scan_bwd_fwd_ratio",
+                      "ratio": round((t_g - t_f) / t_f, 2)}), flush=True)
+
+
 def bench_xla_parts():
     """The XLA ops around the kernel: projections + layout changes."""
     k = jax.random.PRNGKey(7)
@@ -226,7 +253,9 @@ PIECES = {
     "model_ablate": bench_model_ablate,
     "scan": bench_scan,
     "kernel": bench_kernel,
+    "kernel_bwd": bench_kernel_bwd,
     "xla_parts": bench_xla_parts,
+    "trainstep": bench_trainstep,
 }
 
 

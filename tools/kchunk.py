@@ -20,8 +20,11 @@ REPEATS = 3
 def run(chunk_x):
     os.environ["VMAMBAIR_SCAN_CHUNK_X"] = str(chunk_x)
     # the default 32MB working-set budget clamps chunk back to 1024; scale
-    # it with the requested chunk so the sweep actually changes the tile
-    os.environ["VMAMBAIR_SCAN_VMEM_MB"] = str(32 * chunk_x)
+    # it with the requested chunk so the sweep actually changes the tile —
+    # but cap at 90MB: pallas_call's vmem_limit_bytes is 100MB, and a
+    # budget beyond it makes the largest sweep point abort in Mosaic
+    # instead of measuring (ADVICE r2)
+    os.environ["VMAMBAIR_SCAN_VMEM_MB"] = str(min(32 * chunk_x, 90))
     import vmambair_tpu.ops.pallas_scan as ps
     importlib.reload(ps)
     ks = jax.random.split(jax.random.PRNGKey(0), 6)

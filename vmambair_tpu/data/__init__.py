@@ -45,14 +45,16 @@ def build_dataloader(dataset, dataset_opt: dict, num_replicas: int = 1,
     phase = dataset_opt.get("phase", "train")
     if phase == "train":
         if sampler is None:
-            # pad the virtual epoch to a multiple of the mesh device count
-            # (the reference pads to world_size, `data_sampler.py:31-33`) so
-            # tiny datasets still fill at least one global batch
+            # pad the virtual epoch to a multiple of the GLOBAL batch
+            # (the reference pads to world_size, `data_sampler.py:31-33`;
+            # padding to batch_size_per_gpu*num_gpu additionally guarantees
+            # tiny datasets survive drop_last with at least one batch)
             sampler = EnlargedSampler(
                 len(dataset), num_replicas, rank,
                 dataset_opt.get("dataset_enlarge_ratio", 1),
                 seed=seed,
-                round_multiple=max(1, int(dataset_opt.get("num_gpu", 1))),
+                round_multiple=int(dataset_opt.get("batch_size_per_gpu", 1))
+                * max(1, int(dataset_opt.get("num_gpu", 1))),
             )
         loader = DataLoader(
             dataset,

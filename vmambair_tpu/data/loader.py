@@ -18,6 +18,7 @@ prefetchers): JAX has no DataLoader, so this module provides
 
 from __future__ import annotations
 
+import math
 import queue
 import random
 import threading
@@ -42,7 +43,11 @@ class EnlargedSampler:
         self.epoch = 0
         self.shuffle = shuffle
         self.seed = seed
-        g = max(num_replicas, round_multiple or 1)
+        # lcm keeps total_size divisible by num_replicas for ANY
+        # round_multiple, so per-rank slices stay equal length (the
+        # reference guarantees total = num_samples * world_size,
+        # `data_sampler.py:31-33`)
+        g = math.lcm(num_replicas, round_multiple or 1)
         self.total_size = -(-dataset_len * ratio // g) * g
         self.num_samples = self.total_size // num_replicas
 

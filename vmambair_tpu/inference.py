@@ -43,12 +43,31 @@ def main():
         help='JSON kwargs for the arch, e.g. \'{"dim": 48, '
         '"num_blocks": [15,1,1,1]}\'',
     )
+    parser.add_argument(
+        "--sp", action="store_true",
+        help="sequence-parallel scans: shard each scan's L axis over all "
+        "devices (giant whole-image inference that does not fit one chip; "
+        "sets scan_impl=sp over a 1D mesh)",
+    )
     args = parser.parse_args()
+
+    if args.sp:
+        import jax
+        import numpy as np_
+
+        from vmambair_tpu.parallel.mesh import set_default_sp_mesh
+        from jax.sharding import Mesh
+
+        set_default_sp_mesh(
+            Mesh(np_.array(jax.devices()), ("data",)), "data"
+        )
 
     # window-per-scale map matches the reference exactly
     # (`RealSR/inference.py:19-33`: scale 1 -> 32, 2 -> 16, 4 -> 8)
     window = args.window or {1: 32, 2: 16, 4: 8}.get(args.scale, 8)
     network_g = {"type": args.arch, "scale": args.scale}
+    if args.sp:
+        network_g["scan_impl"] = "sp"
     if args.network_opt:
         import json
 

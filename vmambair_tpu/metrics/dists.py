@@ -6,14 +6,20 @@ Rebuilds the reference's DISTS metric
 stages) with anti-aliased L2 pooling, per-stage structure (covariance) and
 texture (mean) similarity, combined with learned alpha/beta weights.
 
-Supply `weights_path` (.npz with `conv*/kernel|bias`, `alpha`, `beta` —
-converted from the reference's `weights.pt`) for published-comparable
-numbers; otherwise uniform alpha/beta over a seeded backbone give a
-deterministic relative metric.
+The published DISTS alpha/beta calibration weights are vendored at
+`assets/dists_alpha_beta.npz` (converted from the reference's in-tree
+`SRGAN/Metric/DISTS/DISTS_pytorch/weights.pt` buffers, `DISTS_pt.py:20-35`,
+via `scripts/convert_metric_weights.py`) and loaded by default, so the
+learned per-channel weighting is active out of the box. Supply
+`weights_path` (.npz with `conv*/kernel|bias` and optionally
+`alpha`/`beta`) to also use the pretrained VGG16 backbone for
+published-comparable numbers; without it the backbone is seeded
+(deterministic relative metric).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
@@ -34,6 +40,11 @@ _C1 = 1e-6
 _C2 = 1e-6
 
 
+_AB_ASSET = os.path.join(
+    os.path.dirname(__file__), "assets", "dists_alpha_beta.npz"
+)
+
+
 class DISTS:
     def __init__(self, weights_path: Optional[str] = None, seed: int = 0):
         self.params, self.is_pretrained = _init_vgg_params(
@@ -41,11 +52,18 @@ class DISTS:
         )
         self.alpha = None
         self.beta = None
+        self.heads_pretrained = False
         if weights_path:
             data = np.load(weights_path)
             if "alpha" in data:
                 self.alpha = jnp.asarray(data["alpha"])
                 self.beta = jnp.asarray(data["beta"])
+                self.heads_pretrained = True
+        if self.alpha is None and os.path.exists(_AB_ASSET):
+            data = np.load(_AB_ASSET)  # vendored published calibration
+            self.alpha = jnp.asarray(data["alpha"])
+            self.beta = jnp.asarray(data["beta"])
+            self.heads_pretrained = True
 
     def __call__(self, img1, img2) -> float:
         def prep(im):

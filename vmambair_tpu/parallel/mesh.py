@@ -20,12 +20,41 @@ code scales out (single-controller SPMD). This replaces the reference's
 
 from __future__ import annotations
 
+import contextlib
 import os
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# ambient mesh for sequence-parallel scans (`scan_impl: "sp"`): models are
+# plain Flax modules with no mesh argument, so the mesh travels as module
+# state set by the caller (config/CLI layer) around init/apply
+_DEFAULT_SP: Optional[Tuple[Mesh, str]] = None
+
+
+def set_default_sp_mesh(mesh: Optional[Mesh], axis: str = "data"):
+    """Install (or clear, with None) the mesh+axis `scan_impl: "sp"` uses."""
+    global _DEFAULT_SP
+    _DEFAULT_SP = None if mesh is None else (mesh, axis)
+
+
+def default_sp_mesh() -> Optional[Tuple[Mesh, str]]:
+    return _DEFAULT_SP
+
+
+@contextlib.contextmanager
+def use_sp_mesh(mesh: Mesh, axis: str = "data"):
+    """Scope a sequence-parallel mesh: any `scan_impl: "sp"` model applied
+    inside shards its scan L axis over `mesh[axis]`."""
+    global _DEFAULT_SP
+    prev = _DEFAULT_SP
+    set_default_sp_mesh(mesh, axis)
+    try:
+        yield
+    finally:
+        _DEFAULT_SP = prev
 
 
 def init_distributed():

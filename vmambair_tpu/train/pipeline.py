@@ -34,6 +34,7 @@ from ..utils.misc import (
     set_random_seed,
 )
 from ..utils.options import copy_opt_file, dict2str, parse_options
+from ..utils.profiling import StepProfiler
 from . import build_model
 
 logger = logging.getLogger("vmambair_tpu")
@@ -186,6 +187,14 @@ def train_pipeline(root_path: str, opt: Optional[Dict[str, Any]] = None,
 
     msg_logger = MessageLogger(opt, current_iter, tb_logger)
     prefetcher = InfinitePrefetcher(train_loader, start_epoch)
+    # `train: profile_dir:` traces a fixed iteration window with
+    # jax.profiler (SURVEY §5 tracing; the torch.profiler analog);
+    # window via profile_start / profile_iters (default iters 10-12)
+    profiler = StepProfiler(
+        opt["train"].get("profile_dir"),
+        int(opt["train"].get("profile_start", 10)),
+        int(opt["train"].get("profile_iters", 3)),
+    )
     progressive = ProgressiveSchedule(
         opt["datasets"]["train"], int(opt.get("scale", 1))
     )
@@ -217,6 +226,7 @@ def train_pipeline(root_path: str, opt: Optional[Dict[str, Any]] = None,
         data_timer.toc()
         current_iter += 1
         batch = progressive.apply(batch, current_iter, prog_rng)
+        profiler.step(current_iter)
 
         iter_timer.tic()
         model.feed_data(batch)
@@ -243,6 +253,7 @@ def train_pipeline(root_path: str, opt: Optional[Dict[str, Any]] = None,
                     val_loader, current_iter, tb_logger, save_img
                 )
 
+    profiler.close()
     consumed = time.time() - start_time
     logger.info("End of training. Time consumed: %.1fs", consumed)
     logger.info("Save the latest model.")

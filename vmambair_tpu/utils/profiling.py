@@ -82,6 +82,15 @@ class StepProfiler:
         self._active = False
         self._t0 = None
 
+    def close(self):
+        """Stop an in-flight trace (training ended inside the window)."""
+        if self._active:
+            try:
+                jax.profiler.stop_trace()
+            except Exception as e:  # pragma: no cover
+                logger.warning("profiler stop failed: %s", e)
+            self._active = False
+
     def step(self, current_iter: int):
         if not self.logdir:
             return
