@@ -195,18 +195,21 @@ def bench_kernel_bwd():
     (pre-r3 XLA-recompute backward measured ~20x the forward)."""
     from vmambair_tpu.ops.pallas_scan import selective_scan
 
-    def fwd_only(u, delta, A, Bm, Cm, Dv, bias):
+    def loss(u, delta, A, Bm, Cm, Dv, bias):
         y = selective_scan(u, delta, A, Bm, Cm, Dv, bias,
                            delta_softplus=True, impl="pallas")
         return jnp.sum(y.astype(jnp.float32) ** 2)
 
+    def fwd_only(u, delta, A, Bm, Cm, Dv, bias):
+        return loss(u, delta, A, Bm, Cm, Dv, bias).reshape(1)
+
     def with_grad(u, delta, A, Bm, Cm, Dv, bias):
-        l, g = jax.value_and_grad(fwd_only, argnums=(0, 1))(
+        l, g = jax.value_and_grad(loss, argnums=(0, 1))(
             u, delta, A, Bm, Cm, Dv, bias)
-        return l + jnp.sum(g[0].astype(jnp.float32)[0, 0, :2])
+        return (l + jnp.sum(g[0].astype(jnp.float32)[0, 0, :2])).reshape(1)
 
     def chain(y, u, *rest):
-        return (u * (1.0 + 1e-9 * y).astype(u.dtype),) + rest
+        return (u * (1.0 + 1e-9 * y[0]).astype(u.dtype),) + rest
 
     t_f = timed(fwd_only, lambda s: _scan_inputs(s), chain=chain)
     t_g = timed(with_grad, lambda s: _scan_inputs(s), chain=chain)
@@ -255,7 +258,7 @@ PIECES = {
     "kernel": bench_kernel,
     "kernel_bwd": bench_kernel_bwd,
     "xla_parts": bench_xla_parts,
-    "trainstep": bench_trainstep,
+    # "trainstep" resolves via the globals() fallback in main()
 }
 
 

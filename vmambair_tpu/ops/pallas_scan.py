@@ -239,7 +239,7 @@ def _build_pallas_fwd(BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
             def _():
                 h_ref[...] = jnp.zeros_like(h_ref)
 
-            car_ref[0, 0] = h_ref[...][:, :, 0]
+            car_ref[0, 0, 0] = h_ref[...][:, :, 0]
             _scan_kernel(
                 u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
                 y_ref, h_ref, nstate=N, chunk=chunk, softplus=softplus,
@@ -259,15 +259,21 @@ def _build_pallas_fwd(BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
     )
     out_shape = jax.ShapeDtypeStruct((BT, dim, L), out_dtype)
     if save_carries:
+        # (BT, n_dtiles, n_chunks, N, d_tile): the block covers the
+        # trailing (N, d_tile) dims exactly — Mosaic requires trailing
+        # block dims be lane/sublane-aligned OR full-dim
         out_specs = [
             out_specs,
             pl.BlockSpec(
-                (1, 1, N, d_tile), lambda b, dt, c: (b, cix(c), 0, dt)
+                (1, 1, 1, N, d_tile),
+                lambda b, dt, c: (b, dt, cix(c), 0, 0),
             ),
         ]
         out_shape = [
             out_shape,
-            jax.ShapeDtypeStruct((BT, n_chunks, N, dim), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (BT, n_dtiles, n_chunks, N, d_tile), jnp.float32
+            ),
         ]
 
     def fwd(u, d, A, B4, C4, Dskip, bias):
@@ -498,8 +504,8 @@ def scan_supported(u_shape, n_groups, N, return_last_state=False, min_l=512):
 
 def _scan_bwd_kernel(u_ref, draw_ref, A_ref, B_ref, C_ref, Dskip_ref,
                      bias_ref, dy_ref, hcar_ref,
-                     du_ref, ddel_ref, dB_ref, dC_ref, dA_ref, dD_ref,
-                     dbias_ref, dh_ref, *, nstate, chunk, softplus, reverse):
+                     du_ref, ddel_ref, dB_ref, dC_ref, dacc_ref,
+                     dh_ref, *, nstate, chunk, softplus, reverse):
     """One backward grid step (chunks walked OPPOSITE to the forward).
 
     TPU rebuild of the CUDA backward (`cus/selective_scan_bwd_kernel.cuh:
@@ -517,19 +523,18 @@ def _scan_bwd_kernel(u_ref, draw_ref, A_ref, B_ref, C_ref, Dskip_ref,
         dA_n  += sum_t delta * w_n           dD  += sum_t dy*u
         dbias += sum_t ddelta_raw            (softplus chain via sigmoid)
 
-    dA/dD/dbias are per-(batch, tile) partials accumulated across the
-    sequential chunk axis in their VMEM blocks; the caller reduces over
-    batch. dB/dC come out per d-tile ((BT, n_dtiles, N, L)); the caller
-    sums tiles within each group.
+    dA/dD/dbias come out as ONE per-(batch, tile) accumulator block of
+    (N+2, d_tile) rows (dA stack, then the dD row, then the dbias row),
+    accumulated across the sequential chunk axis in VMEM; the caller
+    splits the rows and reduces over batch. dB/dC come out per d-tile
+    ((BT, n_dtiles, N, L)); the caller sums tiles within each group.
     """
     c_idx = pl.program_id(2)
 
     @pl.when(c_idx == 0)
     def _():
         dh_ref[...] = jnp.zeros_like(dh_ref)
-        dA_ref[...] = jnp.zeros_like(dA_ref)
-        dD_ref[...] = jnp.zeros_like(dD_ref)
-        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+        dacc_ref[...] = jnp.zeros_like(dacc_ref)
 
     draw = (draw_ref[0].astype(jnp.float32)
             + bias_ref[...].astype(jnp.float32))
@@ -557,7 +562,7 @@ def _scan_bwd_kernel(u_ref, draw_ref, A_ref, B_ref, C_ref, Dskip_ref,
     A_all = A_ref[...].astype(jnp.float32)        # (N, Dt, 1)
     B_all = B_ref[0, 0].astype(jnp.float32)       # (N, chunk)
     C_all = C_ref[0, 0].astype(jnp.float32)
-    h0_all = hcar_ref[...][0, 0][:, :, None]      # (N, Dt, 1)
+    h0_all = hcar_ref[...][0, 0, 0][:, :, None]   # (N, Dt, 1)
     dh0_all = dh_ref[...].astype(jnp.float32)
 
     sB = jnp.zeros_like(u)        # sum_n B_n * dh_n      (Dt, chunk)
@@ -600,10 +605,13 @@ def _scan_bwd_kernel(u_ref, draw_ref, A_ref, B_ref, C_ref, Dskip_ref,
     dC_ref[0, 0] = (dC_pieces[0] if len(dC_pieces) == 1
                     else jnp.concatenate(dC_pieces, axis=0)
                     ).astype(dC_ref.dtype)
-    dA_ref[0] += (dA_pieces[0] if len(dA_pieces) == 1
-                  else jnp.concatenate(dA_pieces, axis=0))
-    dD_ref[...] += jnp.sum(dy * u, axis=1)[None, :]
-    dbias_ref[...] += jnp.sum(ddelta, axis=1)[None, :]
+    acc = jnp.concatenate(
+        dA_pieces
+        + [jnp.sum(dy * u, axis=1)[None, :],      # the dD row
+           jnp.sum(ddelta, axis=1)[None, :]],     # the dbias row
+        axis=0,
+    )  # (N + 2, Dt)
+    dacc_ref[0, 0] += acc
 
 
 @functools.lru_cache(maxsize=None)
@@ -644,7 +652,8 @@ def _build_pallas_bwd(BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
                 pl.BlockSpec((d_tile, 1), lambda b, dt, c: (dt, 0)),
                 seq_spec,
                 pl.BlockSpec(
-                    (1, 1, N, d_tile), lambda b, dt, c: (b, cox(c), 0, dt)
+                    (1, 1, 1, N, d_tile),
+                    lambda b, dt, c: (b, dt, cox(c), 0, 0),
                 ),
             ],
             out_specs=[
@@ -656,20 +665,18 @@ def _build_pallas_bwd(BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
                 pl.BlockSpec(                                   # dC partial
                     (1, 1, N, chunk), lambda b, dt, c: (b, dt, 0, cox(c))
                 ),
-                pl.BlockSpec(                                   # dA partial
-                    (1, N, d_tile), lambda b, dt, c: (b, 0, dt)
+                pl.BlockSpec(                                   # dA/dD/dbias
+                    (1, 1, N + 2, d_tile), lambda b, dt, c: (b, dt, 0, 0)
                 ),
-                pl.BlockSpec((1, d_tile), lambda b, dt, c: (b, dt)),  # dD
-                pl.BlockSpec((1, d_tile), lambda b, dt, c: (b, dt)),  # dbias
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((BT, dim, L), in_dtype),
                 jax.ShapeDtypeStruct((BT, dim, L), in_dtype),
                 jax.ShapeDtypeStruct((BT, n_dtiles, N, L), bc_dtype),
                 jax.ShapeDtypeStruct((BT, n_dtiles, N, L), bc_dtype),
-                jax.ShapeDtypeStruct((BT, N, dim), jnp.float32),
-                jax.ShapeDtypeStruct((BT, dim), jnp.float32),
-                jax.ShapeDtypeStruct((BT, dim), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (BT, n_dtiles, N + 2, d_tile), jnp.float32
+                ),
             ],
             scratch_shapes=[pltpu.VMEM((N, d_tile, 1), jnp.float32)],
             cost_estimate=pl.CostEstimate(
@@ -703,12 +710,11 @@ def _scan_bwd_dl(u, draw, A, B, C, Dskip, bias, dy, hcar, *, softplus,
         BT, L, dim, N, G, chunk, d_tile, softplus, interpret,
         str(u.dtype), str(B.dtype), str(dy.dtype), reverse,
     )
-    du, ddel, dBp, dCp, dAp, dDp, dbp = bwd(
+    du, ddel, dBp, dCp, dacc = bwd(
         u, draw, A.astype(jnp.float32).T[:, :, None], B, C,
         Dskip.astype(jnp.float32).reshape(dim, 1),
         bias.astype(jnp.float32).reshape(dim, 1), dy, hcar,
     )
-    n_dtiles = dim // d_tile
     if dg_tiles > 1:  # sum tile partials within each B/C group
         dB = jnp.sum(
             dBp.reshape(BT, G, dg_tiles, N, L).astype(jnp.float32), axis=2
@@ -718,9 +724,11 @@ def _scan_bwd_dl(u, draw, A, B, C, Dskip, bias, dy, hcar, *, softplus,
         ).astype(C.dtype)
     else:
         dB, dC = dBp, dCp
-    dA = jnp.sum(dAp, axis=0).T          # (dim, N)
-    dD = jnp.sum(dDp, axis=0)
-    dbias = jnp.sum(dbp, axis=0)
+    # unpack the (N+2, d_tile) accumulator rows: dA stack, dD row, dbias row
+    dA = jnp.sum(dacc[:, :, :N, :], axis=0)       # (n_dtiles, N, d_tile)
+    dA = jnp.moveaxis(dA, 1, 0).reshape(N, dim).T  # (dim, N)
+    dD = jnp.sum(dacc[:, :, N, :], axis=0).reshape(dim)
+    dbias = jnp.sum(dacc[:, :, N + 1, :], axis=0).reshape(dim)
     return du, ddel, dA, dB, dC, dD, dbias
 
 
@@ -967,7 +975,7 @@ def _build_fused_fwd(BT, G, D, L, N, R, chunk, softplus, interpret,
             def _():
                 h_ref[...] = jnp.zeros_like(h_ref)
 
-            car_ref[0, 0] = h_ref[...][:, :, 0]
+            car_ref[0, 0, 0] = h_ref[...][:, :, 0]
             _fused_kernel(
                 u_ref, wxp_ref, wdt_ref, A_ref, Dskip_ref, bias_ref,
                 y_ref, h_ref, nstate=N, dt_rank=R, chunk=chunk,
@@ -986,17 +994,20 @@ def _build_fused_fwd(BT, G, D, L, N, R, chunk, softplus, interpret,
     )
     out_shape = jax.ShapeDtypeStruct((BT, G, D, L), out_dtype)
     if save_carries:
-        # carries in the generic DL-backward's format: (BT, nc, N, G*D),
-        # group g owning the [g*D, (g+1)*D) channel stripe
+        # carries in the generic DL-backward's tile format
+        # (BT, n_dtiles=G, n_chunks, N, d_tile=D) — fused shapes always
+        # have dg = D <= 256, so the backward's d_tile equals D
         out_specs = [
             out_specs,
             pl.BlockSpec(
-                (1, 1, N, D), lambda b, g, c: (b, cix(c), 0, g)
+                (1, 1, 1, N, D), lambda b, g, c: (b, g, cix(c), 0, 0)
             ),
         ]
         out_shape = [
             out_shape,
-            jax.ShapeDtypeStruct((BT, n_chunks, N, G * D), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (BT, G, n_chunks, N, D), jnp.float32
+            ),
         ]
 
     def fwd(u_dl, wxp, wdt, A_t, Dskip, bias):
