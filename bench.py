@@ -20,10 +20,16 @@ identical requests.
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _mark(msg):
+    # progress to stderr (the driver consumes only the stdout JSON line)
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 BASELINE_MPS = 10.0  # estimated A100 reference, output MP/s (see docstring)
 
@@ -155,37 +161,47 @@ def bench_roofline(net, params, x, measured_mps):
         out_px = x.shape[0] * (x.shape[1] * SCALE) * (x.shape[2] * SCALE)
         elems_per_px = counts["elems"] / out_px
 
-        # dependent-chain combine probe: state stays in registers/VMEM
+        # dependent-chain combine probe: state stays in registers/VMEM.
+        # The tunnel adds 50-3000ms of RTT per dispatch, so a single loop
+        # length measures the tunnel; rate comes from the TIME DIFFERENCE
+        # between a long and a short chain (identical graphs but for K).
         probe_shape = (8, 512, 1024)  # 16MB fp32: VMEM-resident per fusion
-        K = 32
+        K_LO, K_HI = 64, 1024
 
-        @jax.jit
-        def probe(b0, s, a):
-            def body(i, b):
-                # per-iteration scalar keeps the full-width mul + exp2
-                # inside the loop (no LICM hoist); matches the combine's
-                # op mix: mul, exp2, mul, add
-                e = jnp.exp2(s * (a + 1e-6 * i))
-                return e * b + b0
-            return jax.lax.fori_loop(0, K, body, b0)
+        def make_probe(K):
+            @jax.jit
+            def probe(b0, s, a):
+                def body(i, b):
+                    # per-iteration scalar keeps the full-width mul + exp2
+                    # inside the loop (no LICM hoist); matches the
+                    # combine's op mix: mul, exp2, mul, add
+                    e = jnp.exp2(s * (a + 1e-6 * i))
+                    return e * b + b0
+                return jax.lax.fori_loop(0, K, body, b0)
+            return probe
 
+        probes = {k: make_probe(k) for k in (K_LO, K_HI)}
         ks = jax.random.split(jax.random.PRNGKey(3), 3)
-        b0 = jax.random.normal(ks[0], probe_shape, jnp.float32)
         s = -jnp.abs(jax.random.normal(ks[1], probe_shape, jnp.float32))
         a = jnp.float32(0.7)
-        jax.block_until_ready(probe(b0, s, a))
-        ts = []
-        for rep in range(REPEATS):
+
+        def time_k(K, rep):
             b0r = jax.random.normal(
-                jax.random.PRNGKey(60 + rep), probe_shape, jnp.float32)
+                jax.random.PRNGKey(60 + 7 * K + rep), probe_shape,
+                jnp.float32)
             jax.block_until_ready(b0r)
             t0 = time.perf_counter()
-            out = probe(b0r, s, a)
+            out = probes[K](b0r, s, a)
             _ = float(out[0, 0, 0])
             jax.block_until_ready(out)
-            ts.append(time.perf_counter() - t0)
+            return time.perf_counter() - t0
+
+        for k in (K_LO, K_HI):
+            time_k(k, 99)  # compile + warm
+        t_lo = min(time_k(K_LO, r) for r in range(REPEATS))
+        t_hi = min(time_k(K_HI, r) for r in range(REPEATS))
         n_elems = probe_shape[0] * probe_shape[1] * probe_shape[2]
-        combine_rate = n_elems * K / min(ts)  # combines/s
+        combine_rate = n_elems * (K_HI - K_LO) / max(t_hi - t_lo, 1e-9)
 
         roofline = combine_rate / (COMBINES_PER_ELEM * elems_per_px) / 1e6
         return {
@@ -207,12 +223,20 @@ def bench_roofline(net, params, x, measured_mps):
 def main():
     import os
 
+    try:  # persist XLA compiles regardless of the ambient env (the full
+        # bench compile set is ~30 min cold on this 1-core host)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # noqa: BLE001
+        pass
+
     from vmambair_tpu.models import build_network
 
     dtype = jnp.bfloat16 if os.environ.get(
         "VMAMBAIR_BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
     # bf16 activations / fp32 weights + fp32 scan state — the production
     # inference posture (the reference's RealESRGANer offers fp16 half mode)
+    _mark("build + init")
     net = build_network(dict(type="MambaSISR6", dtype=dtype))
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (BATCH, TILE, TILE, 3), jnp.float32)
@@ -231,8 +255,11 @@ def main():
         return net.apply(params, jax.lax.fori_loop(0, n - 1, body, x))
 
     # compile both loop lengths
+    _mark("compile inference n=1")
     jax.block_until_ready(run_n(params, x, 1))
+    _mark("compile inference n=ITERS")
     jax.block_until_ready(run_n(params, x, ITERS))
+    _mark("timing inference")
 
     def timed(n, seed):
         # fresh input per timed call — the tunnel caches identical requests
@@ -305,6 +332,7 @@ def main():
             den = float(jnp.max(jnp.abs(y_x.astype(jnp.float32)))) + 1e-9
             return round(num / den, 8)
 
+        _mark("parity unfused")
         parity_rel = unfused_parity(jnp.bfloat16)
         parity_rel_f32 = unfused_parity(jnp.float32)
     except Exception:  # noqa: BLE001
@@ -312,6 +340,7 @@ def main():
     try:
         from vmambair_tpu.ops.pallas_scan import oss_scan_fused
 
+        _mark("parity fused")
         ks = jax.random.split(jax.random.PRNGKey(11), 6)
         fb, fl, fg, fd, fn, fr = 2, 4096, 2, 96, 16, 6
         u2 = jax.random.normal(ks[0], (fb, fl, fg, fd), jnp.bfloat16)
@@ -348,7 +377,9 @@ def main():
     except Exception:  # noqa: BLE001
         pass
 
+    _mark("train step")
     train = bench_train_step(net, params)
+    _mark("roofline")
     roofline = bench_roofline(net, params, x, mps)
 
     print(json.dumps({
