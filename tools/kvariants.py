@@ -25,6 +25,15 @@ CHUNK = 1024
 ITERS = 9
 REPEATS = 3
 
+# VMAMBAIR_KV_INTERPRET=1: tiny shapes + Pallas interpreter (CPU parity
+# check of a new variant before burning chip time)
+import os as _os  # noqa: E402
+
+if _os.environ.get("VMAMBAIR_KV_INTERPRET"):
+    B, L, CHUNK = 2, 512, 256
+    ITERS, REPEATS = 2, 1
+INTERPRET = bool(_os.environ.get("VMAMBAIR_KV_INTERPRET"))
+
 
 def _softplus(x):
     return jnp.where(x > 20.0, x, jnp.log1p(jnp.exp(jnp.minimum(x, 20.0))))
@@ -530,8 +539,205 @@ def kernel_v14(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
     y_ref[0] = y.astype(y_ref.dtype)
 
 
+def kernel_v15(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+               y_ref, h_ref, *, nstate, chunk, sub):
+    """Brent-Kung (work-efficient) subchunk scan, log-domain combine
+    (VERDICT r2 next#2a). Combine((sd1,b1),(sd2,b2)) = (sd1+sd2,
+    exp2(A*sd2)*b1 + b2); carry folded into b[0] like v13.
+
+    Does O(n) combines vs Hillis-Steele's O(n log n) — but the up/down
+    sweeps run 2*log2(sub) levels of NARROWING width, and a VPU op below
+    128 lanes costs the same issue slots as a 128-lane op (ops cost
+    ~ceil(rows/8)*ceil(cols/128) cycles), so the narrow tree levels don't
+    get cheaper and the level count doubles. Expected slower than v13;
+    raced to close the work-efficient-scan question with a number.
+    """
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    d, du, y, B_blk, C_blk, A_t = _prologue(
+        u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref)
+    dt = d.shape[0]
+    A2 = A_t * LOG2E
+    b_full = du[None] * B_blk[:, None, :]
+    carry = h_ref[...].astype(jnp.float32)
+    n_lv = int(math.log2(sub))
+    hs = []
+    for i in range(chunk // sub):
+        lo, hi = i * sub, (i + 1) * sub
+        d0 = d[:, lo : lo + 1]
+        b0 = b_full[:, :, lo : lo + 1] + jnp.exp2(A2 * d0[None]) * carry
+        b = jnp.concatenate([b0, b_full[:, :, lo + 1 : hi]], axis=2)
+        sd = d[:, lo:hi]
+        # up-sweep: pairwise-combine to levels of width sub/2 ... 1
+        levels = [(sd, b)]
+        for _l in range(n_lv):
+            sd_c, b_c = levels[-1]
+            w = sd_c.shape[-1]
+            sd2 = sd_c.reshape(dt, w // 2, 2)
+            b2 = b_c.reshape(nstate, dt, w // 2, 2)
+            sd_o = sd2[..., 1]
+            levels.append((
+                sd2[..., 0] + sd_o,
+                jnp.exp2(A2 * sd_o[None]) * b2[..., 0] + b2[..., 1],
+            ))
+        # down-sweep: inclusive prefixes back to full width; at level of
+        # width 2w: I[2j+1] = I_above[j], I[2j] = combine(I_above[j-1],
+        # x[2j]) with zero prefix at j=0 (carry already folded into b[0])
+        I = levels[-1][1]  # width 1: the subchunk total
+        for l in range(n_lv - 1, -1, -1):
+            sd_c, b_c = levels[l]
+            w2 = sd_c.shape[-1]
+            sd_e = sd_c.reshape(dt, w2 // 2, 2)[..., 0]
+            b_e = b_c.reshape(nstate, dt, w2 // 2, 2)[..., 0]
+            zi = jnp.zeros((nstate, dt, 1), jnp.float32)
+            I_prev = jnp.concatenate([zi, I[:, :, :-1]], axis=2)
+            I_even = jnp.exp2(A2 * sd_e[None]) * I_prev + b_e
+            I = jnp.stack([I_even, I], axis=-1).reshape(nstate, dt, w2)
+        carry = I[:, :, -1:]
+        hs.append(I)
+    h_all = jnp.concatenate(hs, axis=2)
+    y = y + jnp.sum(C_blk[:, None, :] * h_all, axis=0)
+    h_ref[...] = carry
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def kernel_v15b(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+                y_ref, h_ref, *, nstate, chunk, sub):
+    """Brent-Kung via full-width masked updates — the only form Mosaic can
+    lower (v15's even/odd deinterleave reshape dies with 'Invalid type':
+    no strided lane addressing). Every one of the 2*log2(sub)-2 tree
+    levels is a full-width select/combine, so the O(n) combine count
+    buys nothing: expected ~2x v13. Raced for the record."""
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    d, du, y, B_blk, C_blk, A_t = _prologue(
+        u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref)
+    dt = d.shape[0]
+    A2 = A_t * LOG2E
+    b_full = du[None] * B_blk[:, None, :]
+    carry = h_ref[...].astype(jnp.float32)
+    n_lv = int(math.log2(sub))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, dt, sub), 2)
+    hs = []
+    for i in range(chunk // sub):
+        lo, hi = i * sub, (i + 1) * sub
+        d0 = d[:, lo : lo + 1]
+        b0 = b_full[:, :, lo : lo + 1] + jnp.exp2(A2 * d0[None]) * carry
+        b = jnp.concatenate([b0, b_full[:, :, lo + 1 : hi]], axis=2)
+        sd = d[:, lo:hi]
+        # up-sweep: at level l combine x[p-k] into x[p] for p = 2k-1 mod 2k
+        for l in range(n_lv):
+            k = 1 << l
+            upd = (lane % (2 * k)) == (2 * k - 1)
+            zb = jnp.zeros((nstate, dt, k), jnp.float32)
+            zs = jnp.zeros((dt, k), jnp.float32)
+            b_sh = jnp.concatenate([zb, b[:, :, :-k]], axis=2)
+            sd_sh = jnp.concatenate([zs, sd[:, :-k]], axis=1)
+            b = jnp.where(upd, jnp.exp2(A2 * sd[None]) * b_sh + b, b)
+            sd = jnp.where(upd[0], sd + sd_sh, sd)
+        # down-sweep: combine x[p-k] into x[p] for p = 3k-1 mod 2k
+        for l in range(n_lv - 2, -1, -1):
+            k = 1 << l
+            upd = (lane % (2 * k)) == (3 * k - 1) % (2 * k)
+            upd = jnp.logical_and(upd, lane >= 3 * k - 1)
+            zb = jnp.zeros((nstate, dt, k), jnp.float32)
+            b_sh = jnp.concatenate([zb, b[:, :, :-k]], axis=2)
+            b = jnp.where(upd, jnp.exp2(A2 * sd[None]) * b_sh + b, b)
+        carry = b[:, :, -1:]
+        hs.append(b)
+    h_all = jnp.concatenate(hs, axis=2)
+    y = y + jnp.sum(C_blk[:, None, :] * h_all, axis=0)
+    h_ref[...] = carry
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def kernel_v16(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+               y_ref, y2_ref, h_ref, *, nstate, chunk, sub):
+    """Lower-bound probe for ONE combined fwd+rev grid pass (VERDICT r2
+    next#2b): the exact forward scan PLUS a chunk-LOCAL reverse scan of
+    the same chunk, sharing the u/delta read and the prologue
+    (softplus/du/Dskip*u). The reverse direction's cross-chunk carry is
+    anti-causal vs the grid walk, so a real combined kernel would
+    additionally need (a) per-chunk reverse totals + a full-width
+    suffix-decay correction pass (exp + FMA per state-element, ~+10%),
+    and (b) separate B/C inputs for the reverse directions (their
+    projection weights differ), doubling B/C DMA back to the two-call
+    level. If this probe already costs >= 2x v13, the combined pass
+    cannot win.
+    """
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    d, du, y, B_blk, C_blk, A_t = _prologue(
+        u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref)
+    dt = d.shape[0]
+    A2 = A_t * LOG2E
+    b_full = du[None] * B_blk[:, None, :]
+    n_steps = int(math.log2(sub))
+
+    def hs_scan(b_seed_carry, reverse):
+        carry = b_seed_carry
+        hs = []
+        rng = range(chunk // sub)
+        for i in (reversed(rng) if reverse else rng):
+            lo, hi = i * sub, (i + 1) * sub
+            edge = hi - 1 if reverse else lo
+            d0 = d[:, edge : edge + 1]
+            b0 = b_full[:, :, edge : edge + 1] + jnp.exp2(
+                A2 * d0[None]) * carry
+            if reverse:
+                b = jnp.concatenate([b_full[:, :, lo : hi - 1], b0], axis=2)
+            else:
+                b = jnp.concatenate([b0, b_full[:, :, lo + 1 : hi]], axis=2)
+            sd = d[:, lo:hi]
+            for s in range(n_steps):
+                k = 1 << s
+                e = jnp.exp2(A2 * sd[None])
+                zb = jnp.zeros((nstate, dt, k), jnp.float32)
+                if reverse:
+                    b_prev = jnp.concatenate([b[:, :, k:], zb], axis=2)
+                else:
+                    b_prev = jnp.concatenate([zb, b[:, :, :-k]], axis=2)
+                b = e * b_prev + b
+                if s < n_steps - 1:
+                    zs = jnp.zeros((dt, k), jnp.float32)
+                    if reverse:
+                        sd = sd + jnp.concatenate([sd[:, k:], zs], axis=1)
+                    else:
+                        sd = sd + jnp.concatenate([zs, sd[:, :-k]], axis=1)
+            carry = b[:, :, :1] if reverse else b[:, :, -1:]
+            hs.append(b)
+        if reverse:
+            hs = hs[::-1]
+        return jnp.concatenate(hs, axis=2), carry
+
+    h_fwd, carry = hs_scan(h_ref[...].astype(jnp.float32), reverse=False)
+    h_ref[...] = carry
+    # chunk-local reverse scan (zero carry each chunk; correction omitted)
+    h_rev, _ = hs_scan(jnp.zeros((nstate, dt, 1), jnp.float32), reverse=True)
+    y2 = Dskip_ref[...].astype(jnp.float32) * u_ref[0].astype(jnp.float32)
+    y_ref[0] = (y + jnp.sum(C_blk[:, None, :] * h_fwd, axis=0)
+                ).astype(y_ref.dtype)
+    y2_ref[0] = (y2 + jnp.sum(C_blk[:, None, :] * h_rev, axis=0)
+                 ).astype(y2_ref.dtype)
+
+
 VARIANTS = {
     "v0": (kernel_v0, {}),
+    "v15_blelloch_128": (kernel_v15, {"sub": 128}),
+    "v15b_masked_128": (kernel_v15b, {"sub": 128}),
+    "v16_combined_128": (kernel_v16, {"sub": 128}),
     "v13_fold_128": (kernel_v13, {"sub": 128}),
     "v13_fold_exp2_128": (kernel_v13, {"sub": 128, "exp2": True}),
     "v14_exp2_128": (kernel_v14, {"sub": 128}),
@@ -612,9 +818,12 @@ def build(kernel, extra, chunk=CHUNK, d_tile=D, seq_len=None):
     scratch = [pltpu.VMEM((N, d_tile, 1), jnp.float32)]
     if kernel is kernel_v9:
         scratch += [pltpu.VMEM((N, d_tile, chunk), jnp.float32)] * 2
+    n_out = 2 if kernel is kernel_v16 else 1
 
     def fwd(u, d, A, B4, C4, Dskip, bias):
-        return pl.pallas_call(
+        o_spec = pl.BlockSpec((1, d_tile, chunk), lambda b, dt, c: (b, dt, c))
+        o_shape = jax.ShapeDtypeStruct((B, DIM, seq), jnp.bfloat16)
+        y = pl.pallas_call(
             k,
             grid=(B, n_dtiles, n_chunks),
             in_specs=[
@@ -628,15 +837,18 @@ def build(kernel, extra, chunk=CHUNK, d_tile=D, seq_len=None):
                 pl.BlockSpec((d_tile, 1), lambda b, dt, c: (dt, 0)),
                 pl.BlockSpec((d_tile, 1), lambda b, dt, c: (dt, 0)),
             ],
-            out_specs=pl.BlockSpec(
-                (1, d_tile, chunk), lambda b, dt, c: (b, dt, c)),
-            out_shape=jax.ShapeDtypeStruct((B, DIM, seq), jnp.bfloat16),
+            out_specs=o_spec if n_out == 1 else [o_spec] * n_out,
+            out_shape=o_shape if n_out == 1 else [o_shape] * n_out,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
+            interpret=INTERPRET,
         )(u, d, A, B4, C4, Dskip, bias)
+        # v16's second output (chunk-local reverse) is part of the kernel's
+        # work but not the parity/chaining surface
+        return y[0] if n_out > 1 else y
 
     return fwd
 
@@ -659,7 +871,7 @@ def parity(fwd, name):
 
     u, delta, AT, Bm, Cm, Dv, bias, A = make_inputs(42)
     # shrink for parity: L=2048 slice
-    Ls = 2048
+    Ls = min(2048, L)
     us, ds = u[:, :, :Ls], delta[:, :, :Ls]
     Bs, Cs = Bm[:, :, :, :Ls], Cm[:, :, :, :Ls]
 

@@ -131,6 +131,19 @@ def _scan_core(d, u, A_all, B_all, C_all, Dskip, h_ref, *, nstate, chunk,
     v5e), and the incoming subchunk carry is folded into the boundary
     element of b before the Hillis-Steele, so no full-width P*carry combine
     is needed (both changes are exact).
+
+    Formulation bound (r3, tools/kvariants.py at the hot shape, v5e):
+    Hillis-Steele's O(n log n) combines are OPTIMAL here — a VPU op below
+    128 lanes costs the same issue slots as a full-width op, so
+    work-efficient trees only add levels: Brent-Kung via masked full-width
+    updates (v15b) measured 16.8 ms vs 12.4 production, and the
+    narrow-level form (v15) dies in Mosaic ('Invalid type' — no strided
+    lane addressing). A combined fwd+rev single pass (v16 probe, 20.9 ms
+    vs 24.8 for two calls) loses its margin to the suffix-decay correction
+    the probe omits plus doubled B/C traffic, and the fused path shares
+    only the u2 read to begin with. bench.py's measured combine-rate
+    ceiling for this formulation is ~7.9 MP/s model throughput; the
+    kernel runs at ~45% of that with everything else it must do.
     """
     du = d * u
     y = Dskip * u  # (Dt, chunk)
