@@ -1190,8 +1190,11 @@ def oss_scan_fused(u2, x_proj_w, dt_proj_w, dt_bias, A, Ds, *,
 
     u2 (B, L, G, D) per-layout sequences; x_proj_w (G, R+2N, D);
     dt_proj_w (G, D, R); dt_bias (G, D); A (G, D, N) [already -exp(A_log)];
-    Ds (G, D). Returns y (B, L, G, D). Differentiable (VJP recomputes
-    through the einsum+XLA-scan composite).
+    Ds (G, D). Returns y (B, L, G, D). Differentiable: when
+    `bwd_scan_supported` the VJP runs the Pallas reverse-scan backward
+    kernel from saved chunk carries (projection cotangents stay MXU
+    einsums); otherwise it recomputes through the einsum+XLA-scan
+    composite.
     """
     op = _make_fused_vjp_op(bool(softplus), bool(interpret), bool(reverse))
     return op(u2, x_proj_w, dt_proj_w, dt_bias, A, Ds)
