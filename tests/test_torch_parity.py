@@ -133,6 +133,19 @@ def _load_reference_arch(name: str = "MambaSISR6"):
     lacks (CUDA scan ext, fvcore, basicsr registry)."""
     arch_path, common_path, _cls = REF_ARCHS[name]
     sscc = types.ModuleType("selective_scan_cuda_core")
+
+    def _sscc_fwd(u, delta, A, B, C, D, delta_bias, delta_softplus,
+                  nrows=1):
+        # the extension interface: `out, x, *rest = fwd(...)` with x the
+        # saved chunk-carry tensor (`MambaRealSR11_arch.py:297-299`);
+        # inference parity never calls backward, so x is a placeholder
+        out = torch_selective_scan(
+            u, delta, A, B, C, D=D, delta_bias=delta_bias,
+            delta_softplus=delta_softplus,
+        )
+        return out, u.new_zeros(1)
+
+    sscc.fwd = _sscc_fwd
     sys.modules["selective_scan_cuda_core"] = sscc
     fv = types.ModuleType("fvcore")
     fvnn = types.ModuleType("fvcore.nn")

@@ -106,16 +106,24 @@ def bench_model_ablate():
 
     import os
     tags = os.environ.get("ABLATE", "pallas,bypass").split(",")
+    # nochan: only the CHANNEL scans stubbed out (spatial scans real) —
+    # isolates the cost of the 62 tiny L=C `impl="xla"` scans
     table = {"pallas": ("auto", None), "xla": ("xla", None),
-             "bypass": ("auto", fake_scan)}
+             "bypass": ("auto", fake_scan), "nochan": ("auto", "chan")}
     real_fused = oss_mod.oss_scan_fused
+    real_mds = oss_mod._multi_dir_scan
+
+    def fake_mds(xs, *a, **kw):
+        return xs * 0.9
 
     def fake_fused(u2, xw, dw, db, A, Ds, **kw):
         return (u2 * Ds[None, None]).astype(u2.dtype)
 
     for tag in tags:
         impl, patch = table[tag]
-        if patch is not None:
+        if patch == "chan":
+            oss_mod._multi_dir_scan = fake_mds
+        elif patch is not None:
             oss_mod.selective_scan = patch
             oss_mod.oss_scan_fused = fake_fused
         try:
@@ -138,6 +146,7 @@ def bench_model_ablate():
         finally:
             oss_mod.selective_scan = real_scan
             oss_mod.oss_scan_fused = real_fused
+            oss_mod._multi_dir_scan = real_mds
 
 
 def _scan_inputs(seed, dl=False):
