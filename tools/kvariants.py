@@ -499,6 +499,54 @@ def kernel_v13(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
     y_ref[0] = y.astype(y_ref.dtype)
 
 
+def kernel_v19(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
+               y_ref, h_ref, *, nstate, chunk, sub):
+    """v13_fold_exp2 with a multiplicatively-CARRIED decay array: ONE
+    exp2 per element at init (E = exp2(A*log2e*d)), then the per-step
+    window doubling is E = E * shift(E) — no per-step transcendental.
+    E underflows to 0 for long windows, which is the correct decay value.
+    The subchunk-carry fold reuses E's first column (drops the narrow
+    exp2 too).
+
+    MEASURED (v5e, hot shape): 17.30 ms vs production v13_fold_exp2
+    13.49 ms — REJECTED. The E-update (full-width mul + shift per step)
+    costs more VPU issue slots than the per-step exp2 it removes, and
+    doubles the live fp32 working set. Confirms the kernel is
+    issue/access-bound, not transcendental-bound."""
+    c_idx = pl.program_id(2)
+
+    @pl.when(c_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    d, du, y, B_blk, C_blk, A_t = _prologue(
+        u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref)
+    dt = d.shape[0]
+    A2 = A_t * LOG2E
+    b_full = du[None] * B_blk[:, None, :]
+    E_full = jnp.exp2(A2 * d[None])              # (nb, Dt, chunk)
+    carry = h_ref[...].astype(jnp.float32)
+    n_steps = int(math.log2(sub))
+    hs = []
+    for i in range(chunk // sub):
+        lo, hi = i * sub, (i + 1) * sub
+        b0 = b_full[:, :, lo : lo + 1] + E_full[:, :, lo : lo + 1] * carry
+        b = jnp.concatenate([b0, b_full[:, :, lo + 1 : hi]], axis=2)
+        E = E_full[:, :, lo:hi]
+        for s in range(n_steps):
+            k = 1 << s
+            zb = jnp.zeros((nstate, dt, k), jnp.float32)
+            b = E * jnp.concatenate([zb, b[:, :, :-k]], axis=2) + b
+            if s < n_steps - 1:
+                E = E * jnp.concatenate([zb, E[:, :, :-k]], axis=2)
+        carry = b[:, :, -1:]
+        hs.append(b)
+    h_all = jnp.concatenate(hs, axis=2)
+    y = y + jnp.sum(C_blk[:, None, :] * h_all, axis=0)
+    h_ref[...] = carry
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
 def kernel_v14(u_ref, d_ref, A_ref, B_ref, C_ref, Dskip_ref, bias_ref,
                y_ref, h_ref, *, nstate, chunk, sub):
     """v8s with exp2 + pre-scaled A (saves the inner scale mul if the HW
@@ -740,6 +788,7 @@ VARIANTS = {
     "v16_combined_128": (kernel_v16, {"sub": 128}),
     "v13_fold_128": (kernel_v13, {"sub": 128}),
     "v13_fold_exp2_128": (kernel_v13, {"sub": 128, "exp2": True}),
+    "v19_ecarry_128": (kernel_v19, {"sub": 128}),
     "v14_exp2_128": (kernel_v14, {"sub": 128}),
     "v8s_64": (kernel_v8s, {"sub": 64}),
     "v10_128": (kernel_v10, {"sub": 128}),
