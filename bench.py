@@ -33,7 +33,7 @@ def _mark(msg):
 
 BASELINE_MPS = 10.0  # estimated A100 reference, output MP/s (see docstring)
 
-TILE = 128      # input tile (output 512x512)
+TILE = int(__import__("os").environ.get("VMAMBAIR_BENCH_TILE", "128"))
 BATCH = int(__import__("os").environ.get("VMAMBAIR_BENCH_BATCH", "8"))
 SCALE = 4
 WARMUP = 2
@@ -298,6 +298,21 @@ def main():
             mfu_pct = round(100.0 * flops / step_t / 197e12, 3)  # v5e bf16
     except Exception:  # noqa: BLE001 — cost analysis is best-effort
         pass
+
+    if os.environ.get("VMAMBAIR_BENCH_QUICK"):
+        # throughput-only mode for tile/batch races (skips parity,
+        # train-step, and roofline sections)
+        print(json.dumps({
+            "metric": "x4_sr_tiled_inference_throughput",
+            "value": round(mps, 3),
+            "unit": "output_megapixels_per_sec_per_chip",
+            "vs_baseline": round(mps / BASELINE_MPS, 3),
+            "detail": {"tile_in": TILE, "batch": BATCH, "iters": ITERS,
+                       "seconds": round(dt, 3), "t_one": round(t_one, 3),
+                       "checksum": checksum,
+                       "mfu_pct_v5e_bf16": mfu_pct, "quick": True},
+        }))
+        return
 
     # on-chip compiled-kernel parity: Pallas vs chunked-XLA scan at a hot
     # shape (the CPU suite only exercises interpret mode; this catches
