@@ -277,6 +277,38 @@ def test_fused_scan_forward_parity(reverse, L, d, N, R):
     check_close(y, y_ref, jnp.float32, f"fused fwd reverse={reverse}")
 
 
+@pytest.mark.parametrize("L", [64, 256])  # 256 = Pallas-bwd-kernel path
+def test_fused_scan_dl_layout(L):
+    """dl=True (SpatialScan's shared-transpose path): the op consumes and
+    returns the kernel's (B, G, D, L) layout; values and all 6 gradients
+    must match the L-major op wrapped in the same transposes."""
+    from vmambair_tpu.ops.pallas_scan import oss_scan_fused
+
+    args = _fused_inputs(jax.random.PRNGKey(29), 2, L, 2, 8, 4, 2)
+
+    def via_dl(u2, *rest):
+        u_dl = jnp.transpose(u2, (0, 2, 3, 1))
+        y_dl = oss_scan_fused(u_dl, *rest, reverse=True, interpret=True,
+                              dl=True)
+        return jnp.transpose(y_dl, (0, 3, 1, 2))
+
+    y = via_dl(*args)
+    y_ref = _fused_composite(*args, reverse=True)
+    check_close(y, y_ref, jnp.float32, f"fused dl fwd L={L}")
+
+    def loss(fn):
+        def f(*a):
+            y = fn(*a)
+            return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape)))
+        return jax.grad(f, argnums=tuple(range(6)))(*args)
+
+    g_new = loss(via_dl)
+    g_ref = loss(lambda *a: _fused_composite(*a, reverse=True))
+    for a, b, name in zip(g_new, g_ref,
+                          ["u2", "xw", "dw", "db", "A", "Ds"]):
+        check_close(a, b, jnp.float32, f"fused dl grad {name}", scale=5.0)
+
+
 def test_fused_scan_gradients():
     from vmambair_tpu.ops.pallas_scan import oss_scan_fused
 

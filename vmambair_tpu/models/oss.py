@@ -170,13 +170,6 @@ class SpatialScan(nn.Module):
 
         def run(k0, rev):
             sl = slice(k0, k0 + 2)
-            if use_fused:
-                # single projection-fused kernel call per direction pair
-                return oss_scan_fused(
-                    u2, x_proj_weight[sl], dt_projs_weight[sl],
-                    biask[sl], A[sl], Dk[sl],
-                    softplus=True, reverse=rev, interpret=fused_interp,
-                )
             x_dbl = jnp.einsum("blgd,gcd->blgc", u2, x_proj_weight[sl])
             dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
             dts = jnp.einsum("blgr,gdr->blgd", dts, dt_projs_weight[sl])
@@ -194,10 +187,33 @@ class SpatialScan(nn.Module):
             )
             return y.reshape(b, L, 2, d)
 
-        y_fwd = run(0, False)   # direction 0 = row fwd, 1 = col fwd
-        y_rev = run(2, True)    # direction 2 = row rev, 3 = col rev
-        y_row = y_fwd[:, :, 0] + y_rev[:, :, 0]
-        y_col = y_fwd[:, :, 1] + y_rev[:, :, 1]
+        if use_fused:
+            # Both direction pairs in the kernel's (B, G, D, L) layout:
+            # ONE u2 transpose shared by the fwd and rev calls, the y sum
+            # taken in DL, one transpose back — and (via autodiff of the
+            # model-level transposes) one shared gy/du2 transpose pair in
+            # the backward, instead of per-call pairs. Transposes at these
+            # shapes are bandwidth-cheap, so this is a small win (~4 ms of
+            # a ~600 ms step), kept mainly for the simpler graph.
+            u_dl = jnp.transpose(u2, (0, 2, 3, 1))
+            y_dl = oss_scan_fused(
+                u_dl, x_proj_weight[0:2], dt_projs_weight[0:2],
+                biask[0:2], A[0:2], Dk[0:2],
+                softplus=True, reverse=False, interpret=fused_interp,
+                dl=True,
+            ) + oss_scan_fused(
+                u_dl, x_proj_weight[2:4], dt_projs_weight[2:4],
+                biask[2:4], A[2:4], Dk[2:4],
+                softplus=True, reverse=True, interpret=fused_interp,
+                dl=True,
+            )
+            y_sum = jnp.transpose(y_dl, (0, 3, 1, 2))   # (B, L, 2, D)
+            y_row, y_col = y_sum[:, :, 0], y_sum[:, :, 1]
+        else:
+            y_fwd = run(0, False)   # direction 0 = row fwd, 1 = col fwd
+            y_rev = run(2, True)    # direction 2 = row rev, 3 = col rev
+            y_row = y_fwd[:, :, 0] + y_rev[:, :, 0]
+            y_col = y_fwd[:, :, 1] + y_rev[:, :, 1]
         y = y_row + jnp.swapaxes(
             y_col.reshape(b, w, h, d), 1, 2
         ).reshape(b, L, d)

@@ -486,12 +486,19 @@ def _pick_tiles(L, dim, G, N, budget_mb=None, stacks=4):
 
 def _pick_tiles_bwd(L, dim, G, N):
     """Tile choice for the backward kernel: it keeps ~8 state-stacks live
-    (b, h, bg, dh, w + scan temps), so the chunk shrinks at a larger budget."""
+    (b, h, bg, dh, w + scan temps), so the chunk shrinks at a larger budget.
+
+    Default budget 32MB == chunk 512 at the trainer's level-0 shapes —
+    the measured optimum (v5e, MambaSISR6 lq64/b8 full train grad,
+    tools/ktrain.py): budget 64 -> 558 ms, 32 -> 531, 16 -> 551, 8 -> 602.
+    The u-shape is VMEM pressure vs grid overhead: at 64MB the ~63MB live
+    working set crowds out double-buffered input DMA; below 32 the extra
+    grid steps dominate."""
     import os
 
     return _pick_tiles(
         L, dim, G, N,
-        budget_mb=int(os.environ.get("VMAMBAIR_SCAN_BWD_VMEM_MB", "64")),
+        budget_mb=int(os.environ.get("VMAMBAIR_SCAN_BWD_VMEM_MB", "32")),
         stacks=8,
     )
 
@@ -879,7 +886,10 @@ def _make_vjp_op(softplus: bool, interpret: bool, dl: bool,
                 bias.astype(jnp.float32).reshape(dim, 1),
             )
             y = y_dl if dl else jnp.swapaxes(y_dl, 1, 2)
-            return y, (u, delta, A, B, C, Dskip, bias, hcar)
+            # save the DL-layout tensors (already materialized for the
+            # kernel): the backward runs in DL, so re-deriving them there
+            # would pay the 4 big input transposes a second time
+            return y, (u_dl, d_dl, A, B_dl, C_dl, Dskip, bias, hcar)
         y = op(u, delta, A, B, C, Dskip, bias)
         return y, (u, delta, A, B, C, Dskip, bias, None)
 
@@ -890,15 +900,8 @@ def _make_vjp_op(softplus: bool, interpret: bool, dl: bool,
             # recompute-in-backward, for shapes the kernel cannot tile
             _, vjp = jax.vjp(xla_equiv, *args)
             return vjp(g)
-        u, delta, A, B, C, Dskip, bias = args
-        if dl:
-            u_dl, d_dl, B_dl, C_dl, g_dl = u, delta, B, C, g
-        else:
-            u_dl = jnp.swapaxes(u, 1, 2)
-            d_dl = jnp.swapaxes(delta, 1, 2)
-            B_dl = jnp.moveaxis(B, 1, 3)
-            C_dl = jnp.moveaxis(C, 1, 3)
-            g_dl = jnp.swapaxes(g, 1, 2)
+        u_dl, d_dl, A, B_dl, C_dl, Dskip, bias = args
+        g_dl = g if dl else jnp.swapaxes(g, 1, 2)
         du, ddel, dA, dB, dC, dD, dbias = _scan_bwd_dl(
             u_dl, d_dl, A.astype(jnp.float32), B_dl, C_dl,
             Dskip, bias, g_dl, hcar,
@@ -910,11 +913,11 @@ def _make_vjp_op(softplus: bool, interpret: bool, dl: bool,
             dB = jnp.moveaxis(dB, 3, 1)
             dC = jnp.moveaxis(dC, 3, 1)
         return (
-            du.astype(u.dtype),
-            ddel.astype(delta.dtype),
+            du.astype(u_dl.dtype),
+            ddel.astype(d_dl.dtype),
             dA.astype(A.dtype),
-            dB.astype(B.dtype),
-            dC.astype(C.dtype),
+            dB.astype(B_dl.dtype),
+            dC.astype(C_dl.dtype),
             dD.astype(Dskip.dtype).reshape(Dskip.shape),
             dbias.astype(bias.dtype).reshape(bias.shape),
         )
@@ -1081,9 +1084,18 @@ def fused_scan_supported(b, l, g, d, N, interpret=False):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused_vjp_op(softplus: bool, interpret: bool, reverse: bool):
+def _make_fused_vjp_op(softplus: bool, interpret: bool, reverse: bool,
+                       dl: bool = False):
+    # dl=True: the op consumes u ALREADY in the kernel's (B, G, D, L)
+    # layout and returns y in it — zero internal transposes. SpatialScan
+    # uses this to share ONE u2 transpose across its fwd+rev direction
+    # calls, sum the two y in DL, and transpose once; autodiff then also
+    # shares one gy transpose and one du2 transpose per OSS block.
     def pallas_fwd(u2, xw, dw, db, A, Ds):
-        b, l, g, d = u2.shape
+        if dl:
+            b, g, d, l = u2.shape
+        else:
+            b, l, g, d = u2.shape
         N = A.shape[2]
         R = dw.shape[2]
         chunk, _ = _pick_tiles(l, g * d, g, N)
@@ -1091,13 +1103,15 @@ def _make_fused_vjp_op(softplus: bool, interpret: bool, reverse: bool):
             b, g, d, l, N, R, chunk, softplus, interpret, str(u2.dtype),
             reverse,
         )
-        u_dl = jnp.transpose(u2, (0, 2, 3, 1))          # (B, G, D, L)
+        u_dl = u2 if dl else jnp.transpose(u2, (0, 2, 3, 1))  # (B, G, D, L)
         A_t = jnp.transpose(A, (0, 2, 1))[..., None]    # (G, N, D, 1)
         y_dl = fwd(u_dl, xw, dw, A_t, Ds[..., None], db[..., None])
-        return jnp.transpose(y_dl, (0, 3, 1, 2))        # (B, L, G, D)
+        return y_dl if dl else jnp.transpose(y_dl, (0, 3, 1, 2))
 
     def xla_equiv(u2, xw, dw, db, A, Ds):
         # the exact einsum-chain + XLA-scan composite the kernel fuses
+        if dl:
+            u2 = jnp.transpose(u2, (0, 3, 1, 2))        # -> (B, L, G, D)
         b, l, g, d = u2.shape
         N = A.shape[2]
         R = dw.shape[2]
@@ -1115,77 +1129,92 @@ def _make_fused_vjp_op(softplus: bool, interpret: bool, reverse: bool):
         )
         if reverse:
             y = jnp.flip(y, 1)
-        return y.reshape(b, l, g, d).astype(u2.dtype)
+        y = y.reshape(b, l, g, d).astype(u2.dtype)
+        return jnp.transpose(y, (0, 2, 3, 1)) if dl else y
 
     @jax.custom_vjp
     def op(u2, xw, dw, db, A, Ds):
         return pallas_fwd(u2, xw, dw, db, A, Ds)
 
     def op_fwd(u2, xw, dw, db, A, Ds):
-        b, l, g, d = u2.shape
+        if dl:
+            b, g, d, l = u2.shape
+        else:
+            b, l, g, d = u2.shape
         N = A.shape[2]
         R = dw.shape[2]
         if bwd_scan_supported(l, g * d, g, N):
             # training forward: fused kernel + chunk-carry checkpoints at
-            # the backward kernel's chunk size
+            # the backward kernel's chunk size. The residual keeps u in DL
+            # layout: the backward runs entirely in the kernel's (B,G,·,L)
+            # layout, so saving u_dl (instead of u2) removes a transpose.
             chunk, _ = _pick_tiles_bwd(l, g * d, g, N)
             fwd_c = _build_fused_fwd(
                 b, g, d, l, N, R, chunk, softplus, interpret,
                 str(u2.dtype), reverse, save_carries=True,
             )
-            u_dl = jnp.transpose(u2, (0, 2, 3, 1))
+            u_dl = u2 if dl else jnp.transpose(u2, (0, 2, 3, 1))
             A_t = jnp.transpose(A, (0, 2, 1))[..., None]
             y_dl, hcar = fwd_c(
                 u_dl, xw, dw, A_t, Ds[..., None], db[..., None]
             )
-            y = jnp.transpose(y_dl, (0, 3, 1, 2))
-            return y, (u2, xw, dw, db, A, Ds, hcar)
+            y = y_dl if dl else jnp.transpose(y_dl, (0, 3, 1, 2))
+            return y, (u_dl, xw, dw, db, A, Ds, hcar)
         return op(u2, xw, dw, db, A, Ds), (u2, xw, dw, db, A, Ds, None)
 
     def op_bwd(res, gy):
-        u2, xw, dw, db, A, Ds, hcar = res
+        u_res, xw, dw, db, A, Ds, hcar = res
         if hcar is None:
             # fallback: recompute-in-backward through the numerically
             # matching XLA composite, for shapes the kernel cannot tile
             _, vjp = jax.vjp(xla_equiv, *res[:6])
             return vjp(gy)
-        # Pallas scan backward + XLA projection chain: the scan (the
-        # sequential 80% of the op) runs in the hand-written kernel; the
-        # projection cotangents are plain MXU einsums XLA fuses well.
-        b, l, g, d = u2.shape
+        # Pallas scan backward + XLA projection chain, ALL in the kernel's
+        # DL layout: the projection recompute and every cotangent einsum
+        # contract over d/c/r or (b,l) with L staying on lanes, leaving
+        # exactly two lane-crossing transposes (gy in, du2 out) instead of
+        # the earlier L-major formulation's ~9. Measured NEUTRAL on the
+        # train step (558.7 -> 558.6 ms, tools/ktrain.py): XLA HBM
+        # transposes at these shapes are bandwidth-cheap (~30 us each);
+        # kept for the simpler graph and smaller residual traffic. The
+        # in-context backward cost is the kernel's intrinsic ~2.4x-of-
+        # forward work (fwd re-run + reverse dh scan + 7 gradients; 22 vs
+        # 9 flops/element in the CostEstimates), not XLA glue.
+        u_dl = u_res                                    # (B, G, D, L)
+        b, g, d, l = u_dl.shape
         N = A.shape[2]
         R = dw.shape[2]
-        x_dbl = jnp.einsum("blgd,gcd->blgc", u2, xw)    # recompute (MXU)
-        dts_r = x_dbl[..., :R]
-        draw = jnp.einsum("blgr,gdr->blgd", dts_r, dw)
-        to_dl = lambda t: jnp.transpose(t, (0, 2, 3, 1)).reshape(
-            b, g * d, l
-        )
-        Bm = jnp.moveaxis(x_dbl[..., R : R + N], 1, 3)  # (B, G, N, L)
-        Cm = jnp.moveaxis(x_dbl[..., R + N :], 1, 3)
+        xdbl = jnp.einsum("gcd,bgdl->bgcl", xw, u_dl)   # recompute (MXU)
+        dts_r = xdbl[:, :, :R]                          # (B, G, R, L)
+        draw = jnp.einsum("gdr,bgrl->bgdl", dw, dts_r)
+        Bm = xdbl[:, :, R : R + N]                      # (B, G, N, L)
+        Cm = xdbl[:, :, R + N :]
+        gy_dl = (gy if dl
+                 else jnp.transpose(gy, (0, 2, 3, 1))).reshape(b, g * d, l)
         du_dl, ddel_dl, dA_f, dB_dl, dC_dl, dD_f, dbias_f = _scan_bwd_dl(
-            to_dl(u2), to_dl(draw), A.reshape(g * d, N),
-            Bm, Cm, Ds.reshape(-1), db.reshape(-1), to_dl(gy), hcar,
+            u_dl.reshape(b, g * d, l), draw.reshape(b, g * d, l),
+            A.reshape(g * d, N), Bm, Cm, Ds.reshape(-1),
+            db.reshape(-1), gy_dl, hcar,
             softplus=softplus, interpret=interpret, reverse=reverse,
         )
-        from_dl = lambda t: jnp.transpose(
-            t.reshape(b, g, d, l), (0, 3, 1, 2)
-        )
-        ddts = from_dl(ddel_dl).astype(jnp.float32)     # (B, L, G, D)
-        ddw = jnp.einsum("blgd,blgr->gdr", ddts, dts_r)
-        ddts_r = jnp.einsum("blgd,gdr->blgr", ddts, dw)
+        ddel_g = ddel_dl.reshape(b, g, d, l).astype(jnp.float32)
+        dts32 = dts_r.astype(jnp.float32)
+        ddw = jnp.einsum("bgdl,bgrl->gdr", ddel_g, dts32)
+        ddts_r = jnp.einsum("gdr,bgdl->bgrl", dw.astype(jnp.float32),
+                            ddel_g)
         dx_dbl = jnp.concatenate(
             [ddts_r,
-             jnp.moveaxis(dB_dl, 3, 1).astype(jnp.float32),
-             jnp.moveaxis(dC_dl, 3, 1).astype(jnp.float32)], axis=-1,
+             dB_dl.astype(jnp.float32),
+             dC_dl.astype(jnp.float32)], axis=2,
+        )                                               # (B, G, R+2N, L)
+        du2_dl = du_dl.reshape(b, g, d, l).astype(jnp.float32) + jnp.einsum(
+            "gcd,bgcl->bgdl", xw.astype(jnp.float32), dx_dbl
         )
-        du2 = from_dl(du_dl).astype(jnp.float32) + jnp.einsum(
-            "blgc,gcd->blgd", dx_dbl, xw
-        )
-        dxw = jnp.einsum("blgc,blgd->gcd", dx_dbl,
-                         u2.astype(jnp.float32))
+        dxw = jnp.einsum("bgcl,bgdl->gcd", dx_dbl,
+                         u_dl.astype(jnp.float32))
+        du2 = du2_dl if dl else jnp.transpose(du2_dl, (0, 3, 1, 2))
         return (
-            du2.astype(u2.dtype),
+            du2.astype(u_dl.dtype),
             dxw.astype(xw.dtype),
             ddw.astype(dw.dtype),
             dbias_f.reshape(g, d).astype(db.dtype),
@@ -1198,7 +1227,8 @@ def _make_fused_vjp_op(softplus: bool, interpret: bool, reverse: bool):
 
 
 def oss_scan_fused(u2, x_proj_w, dt_proj_w, dt_bias, A, Ds, *,
-                   softplus=True, reverse=False, interpret=False):
+                   softplus=True, reverse=False, interpret=False,
+                   dl=False):
     """Projection-fused K-direction-pair selective scan.
 
     u2 (B, L, G, D) per-layout sequences; x_proj_w (G, R+2N, D);
@@ -1208,8 +1238,14 @@ def oss_scan_fused(u2, x_proj_w, dt_proj_w, dt_bias, A, Ds, *,
     kernel from saved chunk carries (projection cotangents stay MXU
     einsums); otherwise it recomputes through the einsum+XLA-scan
     composite.
+
+    dl=True: u2 and y are in the kernel's (B, G, D, L) layout instead —
+    no transposes inside the op. Callers that issue BOTH direction scans
+    on one u2 (SpatialScan) use this to share one transpose pair across
+    the calls and their backward.
     """
-    op = _make_fused_vjp_op(bool(softplus), bool(interpret), bool(reverse))
+    op = _make_fused_vjp_op(bool(softplus), bool(interpret), bool(reverse),
+                            bool(dl))
     return op(u2, x_proj_w, dt_proj_w, dt_bias, A, Ds)
 
 
