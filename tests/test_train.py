@@ -420,3 +420,33 @@ def test_train_loader_batch_scales_with_devices(tmp_path):
     assert train_loader.batch_size == 2 * n_dev
     batch = next(iter(train_loader))
     assert batch["lq"].shape[0] == 2 * n_dev
+
+
+def test_pipeline_gan_end_to_end(tmp_path):
+    """Pipeline-level GAN run (train.py path): SRGANModel through
+    train_pipeline with a real dataset/loader — two optimizers step, both
+    nets checkpoint, and the loss dict carries the reference's GAN keys
+    (`MambaSISRGAN_model.py:130-171`). Model-level GAN steps are covered in
+    test_gan_training.py; this closes the pipeline-integration gap."""
+    from vmambair_tpu.train.pipeline import train_pipeline
+
+    gt_dir, lq_dir = _write_paired_fixtures(str(tmp_path))
+    opt = _tiny_pipeline_opt(tmp_path, gt_dir, lq_dir, total_iter=2)
+    opt["name"] = "t_gan_pipe"
+    opt["model_type"] = "SRGANModel"
+    opt["network_d"] = {"type": "UNetDiscriminatorSN", "num_in_ch": 3,
+                        "num_feat": 8}
+    opt["train"]["optim_d"] = {"type": "Adam", "lr": 1e-4,
+                               "betas": [0.9, 0.99]}
+    opt["train"]["gan_opt"] = {"type": "GANLoss", "gan_type": "vanilla",
+                               "loss_weight": 0.1}
+    opt["train"]["net_d_iters"] = 1
+    opt["train"]["net_d_init_iters"] = 0
+    m = train_pipeline(str(tmp_path), opt=opt)
+    log = m.get_current_log()
+    for key in ("l_g_pix", "l_g_gan", "l_d_real", "l_d_fake"):
+        assert key in log and np.isfinite(log[key]), (key, log)
+    assert os.path.exists(os.path.join(opt["path"]["models"],
+                                       "net_g_2.ckpt"))
+    assert os.path.exists(os.path.join(opt["path"]["models"],
+                                       "net_d_2.ckpt"))
