@@ -26,15 +26,25 @@ def main():
     p.add_argument("--param_key", default="params_ema")
     p.add_argument("--hw", type=int, nargs=2, default=[128, 128])
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument(
+        "--network_opt", type=str, default=None,
+        help='JSON kwargs for the arch (same as inference.py), e.g. '
+             '\'{"dim": 48, "num_blocks": [15, 1, 1, 1]}\'',
+    )
     p.add_argument("--output", required=True)
     args = p.parse_args()
+
+    import json
 
     from jax import export as jexport
 
     from vmambair_tpu.models import build_network
     from vmambair_tpu.train.checkpoint import load_network
 
-    net = build_network(dict(type=args.arch))
+    network = dict(type=args.arch)
+    if args.network_opt:
+        network.update(json.loads(args.network_opt))
+    net = build_network(network)
     x = jnp.zeros((args.batch, args.hw[0], args.hw[1], 3), jnp.float32)
     params = jax.jit(net.init)(jax.random.PRNGKey(0), x)
     if args.ckpt:
