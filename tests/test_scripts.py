@@ -123,3 +123,46 @@ def test_metric_psnr_ssim_cli(img_dir, tmp_path, monkeypatch, capsys):
     assert "psnr" in text.lower()
     # identical folders: PSNR is inf/very large, SSIM ~ 1
     assert "ssim" in text.lower()
+
+
+def _avg_score(text, name):
+    import re
+
+    m = re.search(rf"average: {name} ([-0-9.]+)", text)
+    assert m, text
+    return float(m.group(1))
+
+
+def test_metric_lpips_cli(img_dir, tmp_path, monkeypatch, capsys):
+    _run("metric_lpips", ["--gt", img_dir, "--sr", img_dir], monkeypatch)
+    text = capsys.readouterr().out.lower()
+    # identical folders: the distance must be ~0 whatever the backbone
+    assert abs(_avg_score(text, "lpips")) < 1e-4, text
+
+
+def test_metric_dists_cli(img_dir, tmp_path, monkeypatch, capsys):
+    _run("metric_dists", ["--gt", img_dir, "--sr", img_dir], monkeypatch)
+    text = capsys.readouterr().out.lower()
+    assert abs(_avg_score(text, "dists")) < 1e-4, text
+
+
+@pytest.mark.skipif(
+    not os.path.exists(
+        "/root/reference/SRGAN/Metric/DISTS/DISTS_pytorch/weights.pt"
+    ),
+    reason="reference snapshot not present",
+)
+def test_convert_metric_weights_dists(tmp_path, monkeypatch):
+    """The converter that produced the vendored DISTS alpha/beta asset
+    (`metrics/assets/`): reference weights.pt -> npz with the published
+    calibration values (`DISTS_pt.py:20-35`)."""
+    out = str(tmp_path / "dists.npz")
+    _run("convert_metric_weights",
+         ["--dists",
+          "/root/reference/SRGAN/Metric/DISTS/DISTS_pytorch/weights.pt",
+          "-o", out],
+         monkeypatch)
+    data = np.load(out)
+    assert "alpha" in data and "beta" in data
+    total = data["alpha"].sum() + data["beta"].sum()
+    assert np.isfinite(total) and data["alpha"].size > 1000
