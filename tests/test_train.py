@@ -450,3 +450,50 @@ def test_pipeline_gan_end_to_end(tmp_path):
                                        "net_g_2.ckpt"))
     assert os.path.exists(os.path.join(opt["path"]["models"],
                                        "net_d_2.ckpt"))
+
+
+def test_eval_pipeline_end_to_end(tmp_path):
+    """test.py path (`test_pipeline`): load a trained ckpt via
+    path.pretrain_network_g, run validation over a real PairedImageDataset
+    loader, compute PSNR/SSIM, save result images — the reference's
+    `test_mamba15_x4.yml` flow on tiny fixtures."""
+    from vmambair_tpu.train.pipeline import test_pipeline, train_pipeline
+
+    gt_dir, lq_dir = _write_paired_fixtures(str(tmp_path))
+    topt = _tiny_pipeline_opt(tmp_path, gt_dir, lq_dir, total_iter=1)
+    train_pipeline(str(tmp_path), opt=dict(topt))
+    ckpt = os.path.join(topt["path"]["models"], "net_g_1.ckpt")
+    assert os.path.exists(ckpt)
+
+    results = os.path.join(str(tmp_path), "results")
+    eopt = {
+        "name": "t_eval", "model_type": "SRModel", "is_train": False,
+        "scale": 1, "num_gpu": 1, "manual_seed": 0, "dist": False,
+        "network_g": dict(topt["network_g"]),
+        "datasets": {"test_1": {
+            "name": "tiny", "type": "PairedImageDataset", "phase": "test",
+            "scale": 1, "dataroot_gt": gt_dir, "dataroot_lq": lq_dir,
+            "io_backend": {"type": "disk"},
+        }},
+        "path": {
+            "pretrain_network_g": ckpt,
+            "param_key_g": "params",
+            "strict_load_g": True,
+            "results_root": results,
+            "log": results,
+            "visualization": os.path.join(results, "visualization"),
+        },
+        "val": {
+            "window_size": 8, "save_img": True,
+            "metrics": {
+                "psnr": {"type": "calculate_psnr", "crop_border": 0,
+                         "test_y_channel": True},
+                "ssim": {"type": "calculate_ssim", "crop_border": 0,
+                         "test_y_channel": True},
+            },
+        },
+    }
+    test_pipeline(str(tmp_path), opt=eopt)
+    vis = os.path.join(results, "visualization", "tiny")
+    saved = [f for f in os.listdir(vis) if f.endswith(".png")]
+    assert len(saved) == 4, saved
