@@ -117,8 +117,10 @@ def test_gradient_parity(impl, dtype):
 
 
 @pytest.mark.parametrize(
-    "L,G", [(32, 1), (64, 2), (256, 2), (2048, 1)]
-)  # 256 = multi-SUBCHUNK (carry-fold path), 2048 = multi-chunk (VMEM carry)
+    "L,G", [(32, 1), (64, 2), (256, 2), (2048, 1), (1536, 2), (2304, 1)]
+)  # 256 = multi-SUBCHUNK (carry-fold path), 2048 = multi-chunk (VMEM carry);
+# 1536/2304 = non-power-of-two L (pad-to-window eval shapes: the chunk
+# picker must fall back to 512/256 — `_pick_tiles` halving loop)
 @pytest.mark.parametrize("dtype", ["float32"])
 def test_pallas_interpret_forward_parity(L, G, dtype):
     """Pallas kernel (interpret mode, CPU) vs sequential reference,
