@@ -141,9 +141,11 @@ def _scan_core(d, u, A_all, B_all, C_all, Dskip, h_ref, *, nstate, chunk,
     lane addressing). A combined fwd+rev single pass (v16 probe, 20.9 ms
     vs 24.8 for two calls) loses its margin to the suffix-decay correction
     the probe omits plus doubled B/C traffic, and the fused path shares
-    only the u2 read to begin with. bench.py's measured combine-rate
-    ceiling for this formulation is ~7.9 MP/s model throughput; the
-    kernel runs at ~45% of that with everything else it must do.
+    only the u2 read to begin with. bench.py's hardened access-rate probe
+    (difference-timed, min-over-repeats; an earlier combine-rate probe
+    was tunnel noise — see BASELINE.md's round-3 correction) puts this
+    formulation's ceiling at ~3.7-3.8 MP/s model throughput; the kernel
+    runs at ~97% of it.
     """
     du = d * u
     y = Dskip * u  # (Dt, chunk)
