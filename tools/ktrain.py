@@ -154,6 +154,13 @@ def _fake_scan_ops():
     fused_id.defvjp(fused_fwd, fused_bwd)
 
     def fake_fused(u2, xw, dw, db, A, Ds, **kw):
+        if kw.get("dl"):
+            # SpatialScan's shared-transpose path passes (B, G, D, L);
+            # the identity stand-in works in L-major, so wrap in the
+            # same transposes the real dl op elides
+            u_blgd = jnp.transpose(u2, (0, 3, 1, 2))
+            y = fused_id(u_blgd, xw, dw, db, A, Ds)
+            return jnp.transpose(y, (0, 2, 3, 1))
         return fused_id(u2, xw, dw, db, A, Ds)
 
     return fake_ss, fake_fused
