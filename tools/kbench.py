@@ -201,7 +201,13 @@ def bench_kernel():
 def bench_kernel_bwd():
     """Raw scan VJP cost at the hot shape: fwd-only loss vs fwd+grad
     through the Pallas backward kernel — reports the bwd/fwd ratio
-    (pre-r3 XLA-recompute backward measured ~20x the forward)."""
+    (pre-r3 XLA-recompute backward measured ~20x the forward).
+
+    Grads are taken w.r.t. ALL 7 inputs with full-leaf sums so nothing
+    the backward kernel computes can be DCE'd — an earlier argnums=(0,1)
+    version of this probe reported 1.02x, not comparable with the
+    in-context ~2.4x (tools/ktrain.py); the kernel's intrinsic work is
+    ~22 vs 9 flops/element."""
     from vmambair_tpu.ops.pallas_scan import selective_scan
 
     def loss(u, delta, A, Bm, Cm, Dv, bias):
@@ -213,9 +219,10 @@ def bench_kernel_bwd():
         return loss(u, delta, A, Bm, Cm, Dv, bias).reshape(1)
 
     def with_grad(u, delta, A, Bm, Cm, Dv, bias):
-        l, g = jax.value_and_grad(loss, argnums=(0, 1))(
+        l, g = jax.value_and_grad(loss, argnums=tuple(range(7)))(
             u, delta, A, Bm, Cm, Dv, bias)
-        return (l + jnp.sum(g[0].astype(jnp.float32)[0, 0, :2])).reshape(1)
+        return (l + sum(jnp.sum(x.astype(jnp.float32)) for x in g)
+                * 1e-12).reshape(1)
 
     def chain(y, u, *rest):
         return (u * (1.0 + 1e-9 * y[0]).astype(u.dtype),) + rest
