@@ -436,6 +436,51 @@ def main():
     except Exception:  # noqa: BLE001
         pass
 
+    # compiled BACKWARD-kernel parity: every CPU test runs the Pallas
+    # backward in interpret mode only, so a Mosaic-only miscompile in
+    # _scan_bwd_kernel would corrupt training gradients with no signal —
+    # grad through the kernel vs grad through the XLA composite, fp32,
+    # at a shape bwd_scan_supported tiles (all 7 cotangents reduced)
+    parity_rel_grad = None
+    try:
+        from vmambair_tpu.ops.pallas_scan import bwd_scan_supported
+
+        _mark("parity backward")
+        gb, gl, gd, gn, gg = 2, 2048, 64, 16, 2
+        assert bwd_scan_supported(gl, gd, gg, gn)
+        ks = jax.random.split(jax.random.PRNGKey(13), 7)
+        gargs = (
+            jax.random.normal(ks[0], (gb, gl, gd), jnp.float32),
+            0.5 * jax.random.uniform(ks[1], (gb, gl, gd), jnp.float32),
+            -0.5 - jnp.exp(jax.random.normal(ks[2], (gd, gn)) * 0.5),
+            jax.random.normal(ks[3], (gb, gl, gg, gn), jnp.float32),
+            jax.random.normal(ks[4], (gb, gl, gg, gn), jnp.float32),
+            jax.random.normal(ks[5], (gd,), jnp.float32),
+            0.1 * jax.random.normal(ks[6], (gd,), jnp.float32),
+        )
+
+        def grads_of(impl):
+            def loss(*a):
+                y = selective_scan(*a, delta_softplus=True, impl=impl)
+                w = jnp.cos(0.37 * jnp.arange(y.size).reshape(y.shape))
+                return jnp.sum(y.astype(jnp.float32) * w)
+
+            return jax.jit(jax.grad(loss, argnums=tuple(range(7))))(*gargs)
+
+        g_p = grads_of("pallas")
+        g_x = grads_of("xla")
+        num = max(
+            float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                  - b.astype(jnp.float32))))
+            for a, b in zip(g_p, g_x)
+        )
+        den = max(
+            float(jnp.max(jnp.abs(b.astype(jnp.float32)))) for b in g_x
+        ) + 1e-9
+        parity_rel_grad = round(num / den, 8)
+    except Exception:  # noqa: BLE001
+        pass
+
     _mark("train step")
     train = bench_train_step(net, params)
     _mark("roofline")
@@ -456,6 +501,7 @@ def main():
             "kernel_parity_rel_err_compiled": parity_rel,
             "kernel_parity_rel_err_compiled_fp32": parity_rel_f32,
             "kernel_parity_rel_err_compiled_fused": parity_rel_fused,
+            "kernel_parity_rel_err_compiled_grad": parity_rel_grad,
             "baseline_note": (
                 "A100 baseline (10 MP/s) is an ESTIMATE from the model's "
                 "~8 MFLOP/px + eager scan-chain launch overhead, NOT a "

@@ -113,55 +113,71 @@ def _fake_scan_ops():
     real_ss = oss_mod.selective_scan
     real_fused = oss_mod.oss_scan_fused
 
-    @jax.custom_vjp
-    def ss_id(u, delta, A, Bm, Cm, Dv, bias):
-        return real_ss(u, delta, A, Bm, Cm, Dv, bias, delta_softplus=True)
+    def _make_ss_id(reverse):
+        @jax.custom_vjp
+        def ss_id(u, delta, A, Bm, Cm, Dv, bias):
+            # the REAL production forward (incl. D-skip and direction) so
+            # grad_fakescan's forward matches fwd_loss exactly and the
+            # decomposition subtraction is unbiased
+            return real_ss(u, delta, A, Bm, Cm, D=Dv, delta_bias=bias,
+                           delta_softplus=True, reverse=reverse)
 
-    def ss_fwd(u, delta, A, Bm, Cm, Dv, bias):
-        args = (u, delta, A, Bm, Cm, Dv, bias)
-        return ss_id(*args), args
+        def ss_fwd(u, delta, A, Bm, Cm, Dv, bias):
+            args = (u, delta, A, Bm, Cm, Dv, bias)
+            return ss_id(*args), args
 
-    def ss_bwd(res, g):
-        u, delta, A, Bm, Cm, Dv, bias = res
-        return (g.astype(u.dtype), jnp.zeros_like(delta), jnp.zeros_like(A),
-                jnp.zeros_like(Bm), jnp.zeros_like(Cm), jnp.zeros_like(Dv),
-                jnp.zeros_like(bias))
+        def ss_bwd(res, g):
+            u, delta, A, Bm, Cm, Dv, bias = res
+            return (g.astype(u.dtype), jnp.zeros_like(delta),
+                    jnp.zeros_like(A), jnp.zeros_like(Bm),
+                    jnp.zeros_like(Cm), jnp.zeros_like(Dv),
+                    jnp.zeros_like(bias))
 
-    ss_id.defvjp(ss_fwd, ss_bwd)
+        ss_id.defvjp(ss_fwd, ss_bwd)
+        return ss_id
 
-    def fake_ss(u, delta, A, Bm, Cm, Dv=None, delta_bias=None,
-                delta_softplus=True, **kw):
+    ss_ids = {False: _make_ss_id(False), True: _make_ss_id(True)}
+
+    def fake_ss(u, delta, A, Bm, Cm, D=None, delta_bias=None,
+                delta_softplus=True, reverse=False, **kw):
         dim = u.shape[-1]
-        if Dv is None:  # zeros == the reference's no-D-skip semantics
-            Dv = jnp.zeros((dim,), jnp.float32)
+        if D is None:  # zeros == the reference's no-D-skip semantics
+            D = jnp.zeros((dim,), jnp.float32)
         if delta_bias is None:
             delta_bias = jnp.zeros((dim,), jnp.float32)
-        return ss_id(u, delta, A, Bm, Cm, Dv, delta_bias)
+        return ss_ids[bool(reverse)](u, delta, A, Bm, Cm, D, delta_bias)
 
-    @jax.custom_vjp
-    def fused_id(u2, xw, dw, db, A, Ds):
-        return real_fused(u2, xw, dw, db, A, Ds, softplus=True)
+    def _make_fused_id(reverse):
+        @jax.custom_vjp
+        def fused_id(u2, xw, dw, db, A, Ds):
+            return real_fused(u2, xw, dw, db, A, Ds, softplus=True,
+                              reverse=reverse)
 
-    def fused_fwd(u2, xw, dw, db, A, Ds):
-        args = (u2, xw, dw, db, A, Ds)
-        return fused_id(*args), args
+        def fused_fwd(u2, xw, dw, db, A, Ds):
+            args = (u2, xw, dw, db, A, Ds)
+            return fused_id(*args), args
 
-    def fused_bwd(res, g):
-        u2, xw, dw, db, A, Ds = res
-        return (g.astype(u2.dtype), jnp.zeros_like(xw), jnp.zeros_like(dw),
-                jnp.zeros_like(db), jnp.zeros_like(A), jnp.zeros_like(Ds))
+        def fused_bwd(res, g):
+            u2, xw, dw, db, A, Ds = res
+            return (g.astype(u2.dtype), jnp.zeros_like(xw),
+                    jnp.zeros_like(dw), jnp.zeros_like(db),
+                    jnp.zeros_like(A), jnp.zeros_like(Ds))
 
-    fused_id.defvjp(fused_fwd, fused_bwd)
+        fused_id.defvjp(fused_fwd, fused_bwd)
+        return fused_id
 
-    def fake_fused(u2, xw, dw, db, A, Ds, **kw):
+    fused_ids = {False: _make_fused_id(False), True: _make_fused_id(True)}
+
+    def fake_fused(u2, xw, dw, db, A, Ds, reverse=False, **kw):
+        fid = fused_ids[bool(reverse)]
         if kw.get("dl"):
             # SpatialScan's shared-transpose path passes (B, G, D, L);
             # the identity stand-in works in L-major, so wrap in the
             # same transposes the real dl op elides
             u_blgd = jnp.transpose(u2, (0, 3, 1, 2))
-            y = fused_id(u_blgd, xw, dw, db, A, Ds)
+            y = fid(u_blgd, xw, dw, db, A, Ds)
             return jnp.transpose(y, (0, 2, 3, 1))
-        return fused_id(u2, xw, dw, db, A, Ds)
+        return fid(u2, xw, dw, db, A, Ds)
 
     return fake_ss, fake_fused
 

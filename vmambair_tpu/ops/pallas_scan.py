@@ -721,7 +721,9 @@ def _scan_bwd_dl(u, draw, A, B, C, Dskip, bias, dy, hcar, *, softplus,
     """Run the backward kernel in DL layout; reduce the partial outputs.
 
     u/draw/dy (BT, dim, L); B/C (BT, G, N, L); A (dim, N) fp32;
-    hcar (BT, n_chunks, N, dim) from the carry-saving forward (same chunk).
+    hcar (BT, n_dtiles, n_chunks, N, d_tile) — the tile layout the
+    carry-saving forwards emit (`_build_pallas_fwd`/`_build_fused_fwd`
+    with save_carries=True at the SAME chunk/d_tile choice as here).
     Returns (du, ddelta_raw, dA, dB, dC, dD, dbias) in DL layouts.
     """
     BT, dim, L = u.shape

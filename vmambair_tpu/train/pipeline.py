@@ -220,40 +220,43 @@ def train_pipeline(root_path: str, opt: Optional[Dict[str, Any]] = None,
 
     logger.info("Start training from iter %d", current_iter)
 
-    while current_iter < total_iters:
-        data_timer.tic()
-        batch = prefetcher.next()
-        data_timer.toc()
-        current_iter += 1
-        batch = progressive.apply(batch, current_iter, prog_rng)
-        profiler.step(current_iter)
+    try:
+        while current_iter < total_iters:
+            data_timer.tic()
+            batch = prefetcher.next()
+            data_timer.toc()
+            current_iter += 1
+            batch = progressive.apply(batch, current_iter, prog_rng)
+            profiler.step(current_iter)
 
-        iter_timer.tic()
-        model.feed_data(batch)
-        model.optimize_parameters(current_iter)
-        iter_timer.toc()
+            iter_timer.tic()
+            model.feed_data(batch)
+            model.optimize_parameters(current_iter)
+            iter_timer.toc()
 
-        if current_iter % print_freq == 0:
-            log_vars = {
-                "epoch": prefetcher.epoch,
-                "iter": current_iter,
-                "time": iter_timer.get_avg_time(),
-                "data_time": data_timer.get_avg_time(),
-            }
-            log_vars.update(model.get_current_log())
-            msg_logger(log_vars)
+            if current_iter % print_freq == 0:
+                log_vars = {
+                    "epoch": prefetcher.epoch,
+                    "iter": current_iter,
+                    "time": iter_timer.get_avg_time(),
+                    "data_time": data_timer.get_avg_time(),
+                }
+                log_vars.update(model.get_current_log())
+                msg_logger(log_vars)
 
-        if current_iter % save_freq == 0:
-            logger.info("Saving models and training states.")
-            model.save(prefetcher.epoch, current_iter)
+            if current_iter % save_freq == 0:
+                logger.info("Saving models and training states.")
+                model.save(prefetcher.epoch, current_iter)
 
-        if val_freq and current_iter % val_freq == 0:
-            for val_loader in val_loaders:
-                model.validation(
-                    val_loader, current_iter, tb_logger, save_img
-                )
-
-    profiler.close()
+            if val_freq and current_iter % val_freq == 0:
+                for val_loader in val_loaders:
+                    model.validation(
+                        val_loader, current_iter, tb_logger, save_img
+                    )
+    finally:
+        # flush an in-flight trace window even when the loop raises —
+        # a crash inside the window is exactly when the trace matters
+        profiler.close()
     consumed = time.time() - start_time
     logger.info("End of training. Time consumed: %.1fs", consumed)
     logger.info("Save the latest model.")
