@@ -17,28 +17,54 @@ progress; >=2.0 means the >=2x A100 target is met.
 Timing: iterations are CHAINED (each consumes the previous output) and the
 final value is fetched to host, so the axon tunnel cannot cache or overlap
 identical requests.
+
+Timeout discipline (round-4, after BENCH_r03 lost its number to a driver
+timeout): the ONE headline JSON line is printed and flushed IMMEDIATELY
+after the throughput timing. Diagnostics (kernel parity, scan-ablation
+decomposition, roofline probes, train step) run afterwards under a
+wall-clock budget (`VMAMBAIR_BENCH_BUDGET_S`, default 900 s from process
+start); sections that would start over budget are skipped and listed in
+`detail.skipped`. Results are appended to `BENCH_DETAILS.json` next to this
+file and echoed as a second stdout JSON line whose headline fields
+(metric/value/unit/vs_baseline) are IDENTICAL to line one, so a parser
+taking either the first or the last parseable line records the same number.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
+_T0 = time.monotonic()
+
 
 def _mark(msg):
-    # progress to stderr (the driver consumes only the stdout JSON line)
-    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+    # progress to stderr (the driver consumes only the stdout JSON lines)
+    print(f"[bench +{time.monotonic() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 
 BASELINE_MPS = 10.0  # estimated A100 reference, output MP/s (see docstring)
 
-TILE = int(__import__("os").environ.get("VMAMBAIR_BENCH_TILE", "128"))
-BATCH = int(__import__("os").environ.get("VMAMBAIR_BENCH_BATCH", "8"))
+TILE = int(os.environ.get("VMAMBAIR_BENCH_TILE", "128"))
+BATCH = int(os.environ.get("VMAMBAIR_BENCH_BATCH", "8"))
 SCALE = 4
 WARMUP = 2
 ITERS = 17
 REPEATS = 3
+BUDGET_S = float(os.environ.get("VMAMBAIR_BENCH_BUDGET_S", "900"))
+
+
+def _over_budget(section, skipped):
+    """True (and records the section) if the diagnostics budget is spent."""
+    if time.monotonic() - _T0 > BUDGET_S:
+        _mark(f"skip {section}: over {BUDGET_S:.0f}s budget")
+        skipped.append(section)
+        return True
+    return False
 
 
 def _attempts(section, n=3):
@@ -132,44 +158,123 @@ def _train_step_once(net, params):
     }
 
 
-# The scan kernel is VMEM-ACCESS bound (round-2 profile: ~25 VMEM
-# accesses/element; every dependent-chain probe and the kernel itself
-# saturate at the same ~1.2-1.7 Tacc/s regardless of op mix). Minimum
-# accesses per (b,l,d,n) element of the log-domain formulation at
-# SUBCHUNK=128: 7 Hillis steps x (read operand + read shifted operand +
-# write result) = 21, plus read Bu + write weighted value (pack) + read +
-# write y (exp2 unpack) = 4. sd-window traffic (shared across the N
-# states), carry folds, projections and HBM DMA are overhead ON TOP, so
-# 25 accesses/element is the formulation's speed-of-light.
-MIN_ACCESSES_PER_ELEM = 25
+def bench_scan_ablation(net, params, x, dt_full):
+    """Directly measured step decomposition (VERDICT r3 #2): time the SAME
+    chained-inference graph with every scan replaced by a one-pass
+    elementwise stand-in (operands kept live so XLA cannot dead-code the
+    surrounding graph). scan_bundle = spatial scan kernels INCLUDING their
+    in-kernel MXU projections (the fused kernel computes x_proj/dt_proj
+    internally, so they cannot be separated from the recurrence here) plus
+    the tiny channel scans. By construction
+    `scan_bundle_ms + other_ms == step_ms`, and the empirical ceiling
+    `scan_only_mps` (throughput if other_ms were zero) is what the r3
+    analytic roofline contradicted."""
+    err = {}
+    for _ in _attempts("scan ablation"):
+        try:
+            return _scan_ablation_once(net, params, x, dt_full)
+        except Exception as e:  # noqa: BLE001
+            err = {"ablation_error": repr(e)[:200]}
+    return err
 
 
-def bench_roofline(net, params, x, measured_mps):
-    """Computed ceiling for the current kernel formulation (VERDICT r2 #3).
+def _scan_ablation_once(net, params, x, dt_full):
+    import functools
 
-    1. Counts the model's scan elements (b*l*d*n summed over every scan
-       call) per output pixel by abstract-evaluating the forward with
-       counting wrappers (no compute).
-    2. Measures the sustained VMEM access rate with a streaming-FMA
-       dependent chain (3 accesses/element/iteration, difference-timed
-       long-vs-short chain so the tunnel RTT cancels). The kernel is
-       access-bound, not op-bound: op-mix variants of this probe
-       (shift+add, exp2 combine, plain FMA) all saturate at the same
-       access rate.
-    3. roofline_mps = access_rate / (25 min accesses/elem * elems/out-px):
-       the throughput IF the kernel performed only the formulation's
-       minimum VMEM traffic (see MIN_ACCESSES_PER_ELEM derivation).
+    import vmambair_tpu.models.oss as oss_mod
+
+    real_ss = oss_mod.selective_scan
+    real_fused = oss_mod.oss_scan_fused
+
+    def ablate_ss(u, delta, A, B, C, D=None, delta_bias=None, **kw):
+        # consume every operand through near-zero-cost reductions so the
+        # producing einsums stay in the graph; one elementwise pass over u
+        # keeps the y-shaped I/O floor
+        eps = (jnp.sum(A) + jnp.sum(B[0, 0]) + jnp.sum(C[0, 0])) * 1e-12
+        return (u.astype(jnp.float32) * (1.0 + eps)).astype(u.dtype)
+
+    def ablate_fused(u2, xw, dw, db, A, Ds, softplus=True, reverse=False,
+                     interpret=False, dl=False, **kw):
+        eps = (jnp.sum(xw) + jnp.sum(dw) + jnp.sum(A)) * 1e-12
+        return (u2.astype(jnp.float32) * (1.0 + eps)).astype(u2.dtype)
+
+    oss_mod.selective_scan = ablate_ss
+    oss_mod.oss_scan_fused = ablate_fused
+    try:
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def run_abl(params, x, n):
+            def body(i, xin):
+                y = net.apply(params, xin)
+                return y[:, :TILE, :TILE, :]
+            return net.apply(params, jax.lax.fori_loop(0, n - 1, body, x))
+
+        _mark("compile scan-ablated model")
+        jax.block_until_ready(run_abl(params, x, 1))
+        jax.block_until_ready(run_abl(params, x, ITERS))
+        _mark("timing scan-ablated model")
+
+        def timed(n, seed):
+            xi = jax.random.uniform(
+                jax.random.PRNGKey(seed), (BATCH, TILE, TILE, 3),
+                jnp.float32)
+            jax.block_until_ready(xi)
+            t0 = time.perf_counter()
+            y = run_abl(params, xi, n)
+            _ = float(jnp.sum(y[0, :2, :2, 0]))
+            jax.block_until_ready(y)
+            return time.perf_counter() - t0
+
+        t_one_a = min(timed(1, 301 + i) for i in range(REPEATS))
+        t_n_a = min(timed(ITERS, 701 + i) for i in range(REPEATS))
+        dt_abl = max(t_n_a - t_one_a, 1e-9) * ITERS / (ITERS - 1)
+    finally:
+        oss_mod.selective_scan = real_ss
+        oss_mod.oss_scan_fused = real_fused
+
+    step_ms = dt_full / ITERS * 1e3
+    other_ms = dt_abl / ITERS * 1e3
+    scan_ms = max(step_ms - other_ms, 1e-9)
+    out_mp = BATCH * (TILE * SCALE) ** 2 / 1e6
+    return {
+        "step_ms": round(step_ms, 1),
+        "scan_bundle_ms": round(scan_ms, 1),
+        "other_ms": round(other_ms, 1),
+        "scan_share": round(scan_ms / step_ms, 3),
+        "scan_only_mps": round(out_mp / (scan_ms / 1e3), 2),
+    }
+
+
+def bench_roofline(net, params, x, measured_mps, ablation):
+    """Roofline diagnostics, reconciled (VERDICT r3 weak #2).
+
+    The binding ceiling reported (`roofline_mps`) is now the EMPIRICAL one:
+    the measured scan-ablation decomposition's `scan_only_mps` (throughput
+    if all non-scan time were zero) — by construction it is consistent with
+    the step decomposition. The r3 analytic bound
+    (access_rate_probe / (25 accesses/elem * elems/px)) is kept as
+    `access_floor_mps`, a diagnostic: the round-3 discrepancy (measured
+    scan-only rate ABOVE the analytic floor) means the dependent-chain
+    probe under-measures the rate the pipelined kernel actually sustains;
+    `kernel_achieved_tacc_s` quantifies that directly from the ablation.
     """
     err = {}
     for _ in _attempts("roofline"):
         try:
-            return _roofline_once(net, params, x, measured_mps)
+            return _roofline_once(net, params, x, measured_mps, ablation)
         except Exception as e:  # noqa: BLE001
             err = {"roofline_error": repr(e)[:200]}
     return err
 
 
-def _roofline_once(net, params, x, measured_mps):
+# Minimum VMEM accesses per (b,l,d,n) element of the log-domain
+# formulation at SUBCHUNK=128: 7 Hillis steps x (read operand + read
+# shifted operand + write result) = 21, plus read Bu + write weighted
+# value (pack) + read + write y (exp2 unpack) = 4. sd-window traffic,
+# carry folds, projections and HBM DMA are overhead ON TOP.
+MIN_ACCESSES_PER_ELEM = 25
+
+
+def _roofline_once(net, params, x, measured_mps, ablation):
     import vmambair_tpu.models.oss as oss_mod
 
     counts = {"elems": 0}
@@ -183,7 +288,10 @@ def _roofline_once(net, params, x, measured_mps):
         return real_ss(u, delta, A, B, C, *a, **kw)
 
     def count_fused(u2, xw, dw, db, A, Ds, **kw):
-        b, l, g, d = u2.shape
+        if kw.get("dl"):
+            b, g, d, l = u2.shape
+        else:
+            b, l, g, d = u2.shape
         counts["elems"] += b * l * g * d * A.shape[2]
         return real_fused(u2, xw, dw, db, A, Ds, **kw)
 
@@ -197,14 +305,9 @@ def _roofline_once(net, params, x, measured_mps):
     out_px = x.shape[0] * (x.shape[1] * SCALE) * (x.shape[2] * SCALE)
     elems_per_px = counts["elems"] / out_px
 
-    # dependent-chain combine probe: state stays in registers/VMEM.
-    # The tunnel adds 50-3000ms of RTT per dispatch, so a single loop
-    # length measures the tunnel; rate comes from the TIME DIFFERENCE
-    # between a long and a short chain (identical graphs but for K).
-    # K_HI-K_LO is sized so the difference signal (~0.1-0.3 s at
-    # plausible VPU rates) dominates residual RTT jitter — at the old
-    # 64/1024 the ~5-15 ms signal was inside the noise and the measured
-    # rate swung 3x between runs.
+    # dependent-chain access-rate probe (diagnostic; see docstring). The
+    # tunnel adds 50-3000ms of RTT per dispatch, so the rate comes from
+    # the TIME DIFFERENCE between a long and a short chain.
     probe_shape = (8, 512, 1024)  # 16MB fp32: VMEM-resident per fusion
     K_LO, K_HI = 1024, 16384
     PROBE_REPEATS = 5
@@ -218,10 +321,6 @@ def _roofline_once(net, params, x, measured_mps):
     ks = jax.random.split(jax.random.PRNGKey(3), 3)
     s = jax.random.uniform(ks[1], probe_shape, jnp.float32)
 
-    # streaming-FMA probe: 3 VMEM accesses/element/iteration (read b,
-    # read s, write b) at minimal op count — measures the sustained VMEM
-    # access rate, which is what bounds the kernel (op-mix variants of
-    # this probe all land at the same access rate)
     def fma_body(i, b):
         return b * 0.999 + s * 1e-4
 
@@ -247,26 +346,53 @@ def _roofline_once(net, params, x, measured_mps):
         return n_elems * (K_HI - K_LO) / max(t_hi - t_lo, 1e-9)
 
     access_rate = 3.0 * measure(fma_body)
+    access_floor_mps = access_rate / (
+        MIN_ACCESSES_PER_ELEM * elems_per_px) / 1e6
 
-    roofline = access_rate / (MIN_ACCESSES_PER_ELEM * elems_per_px) / 1e6
-    return {
+    out = {
         "elems_per_out_px": round(elems_per_px, 1),
-        "vmem_access_rate_tacc_s": round(access_rate / 1e12, 3),
-        "roofline_mps": round(roofline, 2),
-        "roofline_achieved_frac": round(measured_mps / roofline, 3),
-        "roofline_note": (
-            "ceiling if the scan kernel performed ONLY the formulation's "
-            "25 minimum VMEM accesses per element (7 Hillis shift+add "
-            "steps x 3 + pack/unpack I/O x 4) at the measured sustained "
-            "access rate — sd-window updates, carry folds, projections, "
-            "layout changes and HBM DMA all push the real kernel below it"
-        ),
+        "vmem_access_rate_probe_tacc_s": round(access_rate / 1e12, 3),
+        "access_floor_mps": round(access_floor_mps, 2),
     }
+    scan_only = (ablation or {}).get("scan_only_mps")
+    if scan_only:
+        # rate the scan bundle actually sustained, at the formulation's
+        # 25-access minimum per element (a LOWER bound on the real rate:
+        # the bundle also spends accesses on projections/carries)
+        achieved = (
+            scan_only * 1e6 * elems_per_px * MIN_ACCESSES_PER_ELEM / 1e12
+        )
+        out.update({
+            "kernel_achieved_tacc_s": round(achieved, 3),
+            "roofline_mps": scan_only,
+            "roofline_achieved_frac": round(measured_mps / scan_only, 3),
+            "roofline_note": (
+                "roofline_mps = measured scan-only ceiling from the "
+                "ablation decomposition (step time with non-scan work "
+                "removed); consistent by construction with "
+                "scan_bundle_ms + other_ms = step_ms. access_floor_mps "
+                "is the r3 analytic bound from the dependent-chain "
+                "probe; kernel_achieved_tacc_s above the probe rate "
+                "means the pipelined kernel sustains more VMEM traffic "
+                "than a serial-dependent chain can, i.e. the probe was "
+                "a miscalibrated ceiling (VERDICT r3 weak #2)"
+            ),
+        })
+    else:
+        out.update({
+            "roofline_mps": round(access_floor_mps, 2),
+            "roofline_achieved_frac": round(
+                measured_mps / access_floor_mps, 3),
+            "roofline_note": (
+                "ablation section unavailable — falling back to the "
+                "analytic access-floor ceiling (known to under-estimate "
+                "the sustained rate; see VERDICT r3 weak #2)"
+            ),
+        })
+    return out
 
 
 def main():
-    import os
-
     try:  # persist XLA compiles regardless of the ambient env (the full
         # bench compile set is ~30 min cold on this 1-core host)
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -343,150 +469,7 @@ def main():
     except Exception:  # noqa: BLE001 — cost analysis is best-effort
         pass
 
-    if os.environ.get("VMAMBAIR_BENCH_QUICK"):
-        # throughput-only mode for tile/batch races (skips parity,
-        # train-step, and roofline sections)
-        print(json.dumps({
-            "metric": "x4_sr_tiled_inference_throughput",
-            "value": round(mps, 3),
-            "unit": "output_megapixels_per_sec_per_chip",
-            "vs_baseline": round(mps / BASELINE_MPS, 3),
-            "detail": {"tile_in": TILE, "batch": BATCH, "iters": ITERS,
-                       "seconds": round(dt, 3), "t_one": round(t_one, 3),
-                       "checksum": checksum,
-                       "mfu_pct_v5e_bf16": mfu_pct, "quick": True},
-        }))
-        return
-
-    # on-chip compiled-kernel parity: Pallas vs chunked-XLA scan at a hot
-    # shape (the CPU suite only exercises interpret mode; this catches
-    # Mosaic-compile divergence, VERDICT r1 Missing #4). Three cases
-    # (VERDICT r2 #4): unfused bf16, unfused FP32 (tolerance ~100x tighter
-    # than the bf16 ladder — catches Mosaic miscompiles bf16 noise hides),
-    # and the FUSED kernel the benchmarked model actually runs.
-    parity_rel = parity_rel_f32 = parity_rel_fused = None
-    try:
-        from vmambair_tpu.ops.pallas_scan import selective_scan
-
-        def unfused_parity(dtype):
-            ks = jax.random.split(jax.random.PRNGKey(9), 6)
-            pb, pl_, pd, pn, pg = 2, 4096, 192, 16, 2
-            u = jax.random.normal(ks[0], (pb, pl_, pd), dtype)
-            delta = 0.5 * jax.random.uniform(ks[1], (pb, pl_, pd), dtype)
-            A = -0.5 - jnp.exp(jax.random.normal(ks[2], (pd, pn)) * 0.5)
-            Bm = jax.random.normal(ks[3], (pb, pl_, pg, pn), dtype)
-            Cm = jax.random.normal(ks[4], (pb, pl_, pg, pn), dtype)
-            Dv = jax.random.normal(ks[5], (pd,), jnp.float32)
-            args = (u, delta, A, Bm, Cm, Dv)
-            y_p = jax.jit(
-                lambda *a: selective_scan(*a, delta_softplus=True,
-                                          impl="pallas")
-            )(*args)
-            y_x = jax.jit(
-                lambda *a: selective_scan(*a, delta_softplus=True,
-                                          impl="xla")
-            )(*args)
-            num = float(jnp.max(jnp.abs(
-                y_p.astype(jnp.float32) - y_x.astype(jnp.float32))))
-            den = float(jnp.max(jnp.abs(y_x.astype(jnp.float32)))) + 1e-9
-            return round(num / den, 8)
-
-        _mark("parity unfused")
-        parity_rel = unfused_parity(jnp.bfloat16)
-        parity_rel_f32 = unfused_parity(jnp.float32)
-    except Exception:  # noqa: BLE001
-        pass
-    try:
-        from vmambair_tpu.ops.pallas_scan import oss_scan_fused
-
-        _mark("parity fused")
-        ks = jax.random.split(jax.random.PRNGKey(11), 6)
-        fb, fl, fg, fd, fn, fr = 2, 4096, 2, 96, 16, 6
-        u2 = jax.random.normal(ks[0], (fb, fl, fg, fd), jnp.bfloat16)
-        xw = jax.random.normal(ks[1], (fg, fr + 2 * fn, fd),
-                               jnp.float32) * 0.2
-        dw = jax.random.normal(ks[2], (fg, fd, fr), jnp.float32) * 0.2
-        db = 0.1 * jax.random.normal(ks[3], (fg, fd), jnp.float32)
-        Af = -0.5 - jnp.exp(jax.random.normal(ks[4], (fg, fd, fn)) * 0.5)
-        Dsf = jax.random.normal(ks[5], (fg, fd), jnp.float32)
-        fargs = (u2, xw, dw, db, Af, Dsf)
-        y_f = jax.jit(lambda *a: oss_scan_fused(*a))(*fargs)
-
-        from vmambair_tpu.ops.selective_scan import selective_scan_xla
-
-        def fused_composite(u2, xw, dw, db, A, Ds):
-            b, l, g, d = u2.shape
-            N = A.shape[2]
-            R = dw.shape[2]
-            x_dbl = jnp.einsum("blgd,gcd->blgc", u2, xw)
-            dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
-            dts = jnp.einsum("blgr,gdr->blgd", dts, dw)
-            y = selective_scan_xla(
-                u2.reshape(b, l, g * d), dts.reshape(b, l, g * d),
-                A.reshape(g * d, N), Bs, Cs, Ds.reshape(-1),
-                db.reshape(-1), delta_softplus=True,
-            )
-            return y.reshape(b, l, g, d).astype(u2.dtype)
-
-        y_c = jax.jit(fused_composite)(*fargs)
-        num = float(jnp.max(jnp.abs(
-            y_f.astype(jnp.float32) - y_c.astype(jnp.float32))))
-        den = float(jnp.max(jnp.abs(y_c.astype(jnp.float32)))) + 1e-9
-        parity_rel_fused = round(num / den, 8)
-    except Exception:  # noqa: BLE001
-        pass
-
-    # compiled BACKWARD-kernel parity: every CPU test runs the Pallas
-    # backward in interpret mode only, so a Mosaic-only miscompile in
-    # _scan_bwd_kernel would corrupt training gradients with no signal —
-    # grad through the kernel vs grad through the XLA composite, fp32,
-    # at a shape bwd_scan_supported tiles (all 7 cotangents reduced)
-    parity_rel_grad = None
-    try:
-        from vmambair_tpu.ops.pallas_scan import bwd_scan_supported
-
-        _mark("parity backward")
-        gb, gl, gd, gn, gg = 2, 2048, 64, 16, 2
-        assert bwd_scan_supported(gl, gd, gg, gn)
-        ks = jax.random.split(jax.random.PRNGKey(13), 7)
-        gargs = (
-            jax.random.normal(ks[0], (gb, gl, gd), jnp.float32),
-            0.5 * jax.random.uniform(ks[1], (gb, gl, gd), jnp.float32),
-            -0.5 - jnp.exp(jax.random.normal(ks[2], (gd, gn)) * 0.5),
-            jax.random.normal(ks[3], (gb, gl, gg, gn), jnp.float32),
-            jax.random.normal(ks[4], (gb, gl, gg, gn), jnp.float32),
-            jax.random.normal(ks[5], (gd,), jnp.float32),
-            0.1 * jax.random.normal(ks[6], (gd,), jnp.float32),
-        )
-
-        def grads_of(impl):
-            def loss(*a):
-                y = selective_scan(*a, delta_softplus=True, impl=impl)
-                w = jnp.cos(0.37 * jnp.arange(y.size).reshape(y.shape))
-                return jnp.sum(y.astype(jnp.float32) * w)
-
-            return jax.jit(jax.grad(loss, argnums=tuple(range(7))))(*gargs)
-
-        g_p = grads_of("pallas")
-        g_x = grads_of("xla")
-        num = max(
-            float(jnp.max(jnp.abs(a.astype(jnp.float32)
-                                  - b.astype(jnp.float32))))
-            for a, b in zip(g_p, g_x)
-        )
-        den = max(
-            float(jnp.max(jnp.abs(b.astype(jnp.float32)))) for b in g_x
-        ) + 1e-9
-        parity_rel_grad = round(num / den, 8)
-    except Exception:  # noqa: BLE001
-        pass
-
-    _mark("train step")
-    train = bench_train_step(net, params)
-    _mark("roofline")
-    roofline = bench_roofline(net, params, x, mps)
-
-    print(json.dumps({
+    headline = {
         "metric": "x4_sr_tiled_inference_throughput",
         "value": round(mps, 3),
         "unit": "output_megapixels_per_sec_per_chip",
@@ -496,23 +479,190 @@ def main():
             "seconds": round(dt, 3), "t_one": round(t_one, 3),
             "checksum": checksum,
             "mfu_pct_v5e_bf16": mfu_pct,
-            **train,
-            **roofline,
-            "kernel_parity_rel_err_compiled": parity_rel,
-            "kernel_parity_rel_err_compiled_fp32": parity_rel_f32,
-            "kernel_parity_rel_err_compiled_fused": parity_rel_fused,
-            "kernel_parity_rel_err_compiled_grad": parity_rel_grad,
-            "baseline_note": (
-                "A100 baseline (10 MP/s) is an ESTIMATE from the model's "
-                "~8 MFLOP/px + eager scan-chain launch overhead, NOT a "
-                "measurement (the reference publishes no throughput "
-                "numbers); vs_baseline is progress vs that fixed constant "
-                "— headline numbers are MP/s and MFU"
-            ),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },
-    }))
+    }
+    if os.environ.get("VMAMBAIR_BENCH_QUICK"):
+        headline["detail"]["quick"] = True
+        print(json.dumps(headline), flush=True)
+        return
+
+    # ---- the headline number is SAFE from here on (BENCH_r03 lesson):
+    # print + flush it before any diagnostic compile can eat the budget
+    print(json.dumps(headline), flush=True)
+    _mark(f"headline emitted: {headline['value']} MP/s")
+
+    detail = dict(headline["detail"])
+    skipped = []
+
+    # on-chip compiled-kernel parity: Pallas vs chunked-XLA scan at a hot
+    # shape (the CPU suite only exercises interpret mode; this catches
+    # Mosaic-compile divergence, VERDICT r1 Missing #4). Three cases
+    # (VERDICT r2 #4): unfused bf16, unfused FP32 (tolerance ~100x tighter
+    # than the bf16 ladder — catches Mosaic miscompiles bf16 noise hides),
+    # and the FUSED kernel the benchmarked model actually runs.
+    from vmambair_tpu.ops.pallas_scan import selective_scan
+
+    if not _over_budget("parity_unfused", skipped):
+        try:
+            def unfused_parity(pdtype):
+                ks = jax.random.split(jax.random.PRNGKey(9), 6)
+                pb, pl_, pd, pn, pg = 2, 4096, 192, 16, 2
+                u = jax.random.normal(ks[0], (pb, pl_, pd), pdtype)
+                delta = 0.5 * jax.random.uniform(
+                    ks[1], (pb, pl_, pd), pdtype)
+                A = -0.5 - jnp.exp(jax.random.normal(ks[2], (pd, pn)) * 0.5)
+                Bm = jax.random.normal(ks[3], (pb, pl_, pg, pn), pdtype)
+                Cm = jax.random.normal(ks[4], (pb, pl_, pg, pn), pdtype)
+                Dv = jax.random.normal(ks[5], (pd,), jnp.float32)
+                args = (u, delta, A, Bm, Cm, Dv)
+                y_p = jax.jit(
+                    lambda *a: selective_scan(*a, delta_softplus=True,
+                                              impl="pallas")
+                )(*args)
+                y_x = jax.jit(
+                    lambda *a: selective_scan(*a, delta_softplus=True,
+                                              impl="xla")
+                )(*args)
+                num = float(jnp.max(jnp.abs(
+                    y_p.astype(jnp.float32) - y_x.astype(jnp.float32))))
+                den = float(jnp.max(jnp.abs(
+                    y_x.astype(jnp.float32)))) + 1e-9
+                return round(num / den, 8)
+
+            _mark("parity unfused")
+            detail["kernel_parity_rel_err_compiled"] = unfused_parity(
+                jnp.bfloat16)
+            detail["kernel_parity_rel_err_compiled_fp32"] = unfused_parity(
+                jnp.float32)
+        except Exception as e:  # noqa: BLE001
+            detail["parity_unfused_error"] = repr(e)[:200]
+
+    if not _over_budget("parity_fused", skipped):
+        try:
+            from vmambair_tpu.ops.pallas_scan import oss_scan_fused
+
+            _mark("parity fused")
+            ks = jax.random.split(jax.random.PRNGKey(11), 6)
+            fb, fl, fg, fd, fn, fr = 2, 4096, 2, 96, 16, 6
+            u2 = jax.random.normal(ks[0], (fb, fl, fg, fd), jnp.bfloat16)
+            xw = jax.random.normal(ks[1], (fg, fr + 2 * fn, fd),
+                                   jnp.float32) * 0.2
+            dw = jax.random.normal(ks[2], (fg, fd, fr), jnp.float32) * 0.2
+            db = 0.1 * jax.random.normal(ks[3], (fg, fd), jnp.float32)
+            Af = -0.5 - jnp.exp(jax.random.normal(ks[4], (fg, fd, fn)) * 0.5)
+            Dsf = jax.random.normal(ks[5], (fg, fd), jnp.float32)
+            fargs = (u2, xw, dw, db, Af, Dsf)
+            y_f = jax.jit(lambda *a: oss_scan_fused(*a))(*fargs)
+
+            from vmambair_tpu.ops.selective_scan import selective_scan_xla
+
+            def fused_composite(u2, xw, dw, db, A, Ds):
+                b, l, g, d = u2.shape
+                N = A.shape[2]
+                R = dw.shape[2]
+                x_dbl = jnp.einsum("blgd,gcd->blgc", u2, xw)
+                dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+                dts = jnp.einsum("blgr,gdr->blgd", dts, dw)
+                y = selective_scan_xla(
+                    u2.reshape(b, l, g * d), dts.reshape(b, l, g * d),
+                    A.reshape(g * d, N), Bs, Cs, Ds.reshape(-1),
+                    db.reshape(-1), delta_softplus=True,
+                )
+                return y.reshape(b, l, g, d).astype(u2.dtype)
+
+            y_c = jax.jit(fused_composite)(*fargs)
+            num = float(jnp.max(jnp.abs(
+                y_f.astype(jnp.float32) - y_c.astype(jnp.float32))))
+            den = float(jnp.max(jnp.abs(y_c.astype(jnp.float32)))) + 1e-9
+            detail["kernel_parity_rel_err_compiled_fused"] = round(
+                num / den, 8)
+        except Exception as e:  # noqa: BLE001
+            detail["parity_fused_error"] = repr(e)[:200]
+
+    # compiled BACKWARD-kernel parity: every CPU test runs the Pallas
+    # backward in interpret mode only, so a Mosaic-only miscompile in
+    # _scan_bwd_kernel would corrupt training gradients with no signal —
+    # grad through the kernel vs grad through the XLA composite, fp32,
+    # at a shape bwd_scan_supported tiles (all 7 cotangents reduced)
+    if not _over_budget("parity_backward", skipped):
+        try:
+            from vmambair_tpu.ops.pallas_scan import bwd_scan_supported
+
+            _mark("parity backward")
+            gb, gl, gd, gn, gg = 2, 2048, 64, 16, 2
+            assert bwd_scan_supported(gl, gd, gg, gn)
+            ks = jax.random.split(jax.random.PRNGKey(13), 7)
+            gargs = (
+                jax.random.normal(ks[0], (gb, gl, gd), jnp.float32),
+                0.5 * jax.random.uniform(ks[1], (gb, gl, gd), jnp.float32),
+                -0.5 - jnp.exp(jax.random.normal(ks[2], (gd, gn)) * 0.5),
+                jax.random.normal(ks[3], (gb, gl, gg, gn), jnp.float32),
+                jax.random.normal(ks[4], (gb, gl, gg, gn), jnp.float32),
+                jax.random.normal(ks[5], (gd,), jnp.float32),
+                0.1 * jax.random.normal(ks[6], (gd,), jnp.float32),
+            )
+
+            def grads_of(impl):
+                def loss(*a):
+                    y = selective_scan(*a, delta_softplus=True, impl=impl)
+                    w = jnp.cos(0.37 * jnp.arange(y.size).reshape(y.shape))
+                    return jnp.sum(y.astype(jnp.float32) * w)
+
+                return jax.jit(
+                    jax.grad(loss, argnums=tuple(range(7))))(*gargs)
+
+            g_p = grads_of("pallas")
+            g_x = grads_of("xla")
+            num = max(
+                float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                      - b.astype(jnp.float32))))
+                for a, b in zip(g_p, g_x)
+            )
+            den = max(
+                float(jnp.max(jnp.abs(b.astype(jnp.float32))))
+                for b in g_x
+            ) + 1e-9
+            detail["kernel_parity_rel_err_compiled_grad"] = round(
+                num / den, 8)
+        except Exception as e:  # noqa: BLE001
+            detail["parity_backward_error"] = repr(e)[:200]
+
+    ablation = None
+    if not _over_budget("scan_ablation", skipped):
+        ablation = bench_scan_ablation(net, params, x, dt)
+        detail.update(ablation)
+
+    if not _over_budget("roofline", skipped):
+        _mark("roofline")
+        detail.update(bench_roofline(net, params, x, mps, ablation))
+
+    if not _over_budget("train_step", skipped):
+        _mark("train step")
+        detail.update(bench_train_step(net, params))
+
+    detail["skipped"] = skipped
+    detail["baseline_note"] = (
+        "A100 baseline (10 MP/s) is an ESTIMATE from the model's "
+        "~8 MFLOP/px + eager scan-chain launch overhead, NOT a "
+        "measurement (the reference publishes no throughput "
+        "numbers); vs_baseline is progress vs that fixed constant "
+        "— headline numbers are MP/s and MFU"
+    )
+    enriched = dict(headline)
+    enriched["detail"] = detail
+    try:
+        side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_DETAILS.json")
+        with open(side, "w") as f:
+            json.dump(enriched, f, indent=1)
+    except Exception:  # noqa: BLE001
+        pass
+    # second line: identical headline fields, diagnostics merged — safe
+    # whether the parser takes the first or the last parseable line
+    print(json.dumps(enriched), flush=True)
+    _mark("done")
 
 
 if __name__ == "__main__":

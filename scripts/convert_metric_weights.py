@@ -11,6 +11,8 @@ build environment, so this runs wherever the user has the files):
       -> lin{k}/weight (C,)
   DISTS `weights.pt` (alpha/beta (1,C,1,1) buffers)
       -> alpha, beta (1, C)
+  InceptionV3-FID `pt_inception-2015-12-05.pth` (BasicConv2d conv+bn)
+      -> <module>/kernel (HWIO, BN folded) + <module>/bias   [FID pool3]
 
 Usage:
   python scripts/convert_metric_weights.py --vgg19 vgg19.pth -o vgg19.npz
@@ -18,6 +20,8 @@ Usage:
       --lpips lpips_vgg.pth -o lpips_vgg16.npz
   python scripts/convert_metric_weights.py --vgg16 vgg16.pth \
       --dists weights.pt -o dists_vgg16.npz
+  python scripts/convert_metric_weights.py \
+      --inception pt_inception-2015-12-05.pth -o inception_fid.npz
 """
 
 import argparse
@@ -80,12 +84,46 @@ def convert_dists_ab(state: dict) -> dict:
     }
 
 
+def convert_inception(state: dict, bn_eps: float = 1e-3) -> dict:
+    """InceptionV3-FID checkpoint (`pt_inception-2015-12-05.pth`, the
+    published-FID network the reference loads — `Deraining/basicsr/metrics/
+    fid.py:10-19`) -> `<module>/kernel` (HWIO) + `<module>/bias` with each
+    BasicConv2d's BatchNorm folded into the conv:
+        k' = k * gamma / sqrt(var + eps);  b' = beta - mean * gamma / ...
+    (the convs are bias-free, BN eps is torchvision's 1e-3). The `fc`
+    classifier head is dropped — FID uses pool3 features only."""
+    out = {}
+    for key in state:
+        if not key.endswith(".conv.weight"):
+            continue
+        mod = key[: -len(".conv.weight")]
+        w = _np(state[key])  # (O, I, kh, kw)
+        gamma = _np(state[f"{mod}.bn.weight"])
+        beta = _np(state[f"{mod}.bn.bias"])
+        mean = _np(state[f"{mod}.bn.running_mean"])
+        var = _np(state[f"{mod}.bn.running_var"])
+        scale = gamma / np.sqrt(var + bn_eps)
+        out[f"{mod}/kernel"] = np.transpose(
+            w * scale[:, None, None, None], (2, 3, 1, 0)
+        ).astype(np.float32)
+        out[f"{mod}/bias"] = (beta - mean * scale).astype(np.float32)
+    if not out:
+        raise KeyError(
+            "no BasicConv2d modules found (expected *.conv.weight keys)"
+        )
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--vgg19", help="torchvision vgg19 .pth")
     p.add_argument("--vgg16", help="torchvision vgg16 .pth")
     p.add_argument("--lpips", help="lpips package vgg.pth (lin heads)")
     p.add_argument("--dists", help="DISTS weights.pt (alpha/beta)")
+    p.add_argument(
+        "--inception",
+        help="InceptionV3-FID pt_inception-2015-12-05.pth (pool3 FID)",
+    )
     p.add_argument("-o", "--output", required=True)
     args = p.parse_args()
 
@@ -104,6 +142,12 @@ def main():
     if args.dists:
         st = torch.load(args.dists, map_location="cpu", weights_only=True)
         out.update(convert_dists_ab(st))
+    if args.inception:
+        st = torch.load(args.inception, map_location="cpu",
+                        weights_only=True)
+        if not isinstance(st, dict) or "state_dict" in st:
+            st = st["state_dict"]
+        out.update(convert_inception(st))
     if not out:
         raise SystemExit("nothing to convert: pass at least one source")
     np.savez(args.output, **out)

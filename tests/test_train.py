@@ -550,3 +550,61 @@ def test_training_improves_psnr(tmp_path):
         m.optimize_parameters(it)
     psnr1 = psnr_on_val(m)
     assert psnr1 > psnr0 + 3.0, (psnr0, psnr1)
+
+
+def test_device_prefetcher_semantics():
+    """DevicePrefetcher (the CUDAPrefetcher analog): one batch is always
+    preloaded ahead through put(); the progressive transform sees the
+    1-based sequence number the batch will be consumed at, so stage
+    boundaries land on the exact iteration."""
+    from vmambair_tpu.data import DevicePrefetcher
+
+    class FakeHost:
+        def __init__(self):
+            self.produced = 0
+            self.epoch = 0
+
+        def next(self):
+            self.produced += 1
+            return {"i": self.produced}
+
+    host = FakeHost()
+    dp = DevicePrefetcher(
+        host,
+        put=lambda b: {**b, "put": True},
+        transform=lambda b, seq: {**b, "seq": seq},
+    )
+    assert host.produced == 1  # constructor preloads one batch
+    b1 = dp.next()
+    assert b1 == {"i": 1, "seq": 1, "put": True}
+    assert host.produced == 2  # next batch already requested
+    b2 = dp.next()
+    assert b2 == {"i": 2, "seq": 2, "put": True}
+    assert dp.epoch == 0
+
+
+def test_feed_data_accepts_prefetched_device_batch(tmp_path):
+    """feed_data(put_batch(x)) == feed_data(x): an already-transferred
+    batch passes through put_batch unchanged (what the device-prefetch
+    path feeds the model)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vmambair_tpu.train import build_model
+
+    opt = {
+        "name": "t_dp", "model_type": "SRModel", "is_train": False,
+        "scale": 1, "num_gpu": 1, "manual_seed": 0,
+        "network_g": {"type": "SRVGGNetCompact", "num_feat": 4,
+                      "num_conv": 1, "upscale": 1},
+        "path": {}, "val": {"window_size": 1},
+    }
+    m = build_model(opt)
+    rng = np.random.RandomState(0)
+    batch = {"lq": rng.rand(2, 8, 8, 3).astype(np.float32)}
+    dev_batch = m.put_batch(batch)
+    assert isinstance(dev_batch["lq"], jnp.ndarray)
+    m.feed_data(dev_batch)
+    a = np.asarray(m.lq)
+    m.feed_data(batch)
+    np.testing.assert_array_equal(a, np.asarray(m.lq))

@@ -489,3 +489,187 @@ def test_restoration_upscaler_mesh_parallel():
     ym, _ = upm.enhance(img)
     assert y1.shape == ym.shape == (96, 80, 3)
     np.testing.assert_allclose(ym, y1, rtol=2e-5, atol=2e-5)
+
+
+def test_uncalibrated_metric_key_renaming(caplog):
+    """Learned metrics running on the seeded-random fallback backbone must
+    be reported under `<name>_uncalibrated` with a one-time WARNING, so a
+    YAML-driven validation can never silently log a non-comparable number
+    under the published metric's name (VERDICT r3 weak #6; reference
+    protocol context `RealSR/Metric/LPIPS.py:11-43`)."""
+    import logging
+
+    import vmambair_tpu.metrics as M
+
+    # calibration predicate
+    assert M.metric_is_calibrated({"type": "calculate_psnr"})
+    assert M.metric_is_calibrated({"type": "calculate_ssim"})
+    assert M.metric_is_calibrated({"type": "calculate_niqe"})
+    assert not M.metric_is_calibrated({"type": "calculate_lpips"})
+    assert not M.metric_is_calibrated({"type": "calculate_dists"})
+    assert M.metric_is_calibrated(
+        {"type": "calculate_lpips", "weights_path": "w.npz"})
+
+    M._warned_uncalibrated.clear()
+    with caplog.at_level(logging.WARNING, logger="vmambair_tpu"):
+        key = M.metric_report_key("lpips", {"type": "calculate_lpips"})
+        key2 = M.metric_report_key("lpips", {"type": "calculate_lpips"})
+    assert key == key2 == "lpips_uncalibrated"
+    warnings = [r for r in caplog.records if "RANDOM backbone" in r.message]
+    assert len(warnings) == 1  # warned exactly once
+    assert M.metric_report_key(
+        "lpips", {"type": "calculate_lpips", "weights_path": "w.npz"}
+    ) == "lpips"
+    assert M.metric_report_key("psnr", {"type": "calculate_psnr"}) == "psnr"
+
+
+def _synth_inception_state(torch, seed=0):
+    """Random state dict with the exact module names/shapes of the
+    pt_inception-2015-12-05 FID checkpoint (all BasicConv2d = conv + bn)."""
+    spec = [
+        ("Conv2d_1a_3x3", 32, 3, 3, 3), ("Conv2d_2a_3x3", 32, 32, 3, 3),
+        ("Conv2d_2b_3x3", 64, 32, 3, 3), ("Conv2d_3b_1x1", 80, 64, 1, 1),
+        ("Conv2d_4a_3x3", 192, 80, 3, 3),
+    ]
+
+    def block_a(pre, cin, pool):
+        return [
+            (f"{pre}.branch1x1", 64, cin, 1, 1),
+            (f"{pre}.branch5x5_1", 48, cin, 1, 1),
+            (f"{pre}.branch5x5_2", 64, 48, 5, 5),
+            (f"{pre}.branch3x3dbl_1", 64, cin, 1, 1),
+            (f"{pre}.branch3x3dbl_2", 96, 64, 3, 3),
+            (f"{pre}.branch3x3dbl_3", 96, 96, 3, 3),
+            (f"{pre}.branch_pool", pool, cin, 1, 1),
+        ]
+
+    def block_c(pre, c7):
+        return [
+            (f"{pre}.branch1x1", 192, 768, 1, 1),
+            (f"{pre}.branch7x7_1", c7, 768, 1, 1),
+            (f"{pre}.branch7x7_2", c7, c7, 1, 7),
+            (f"{pre}.branch7x7_3", 192, c7, 7, 1),
+            (f"{pre}.branch7x7dbl_1", c7, 768, 1, 1),
+            (f"{pre}.branch7x7dbl_2", c7, c7, 7, 1),
+            (f"{pre}.branch7x7dbl_3", c7, c7, 1, 7),
+            (f"{pre}.branch7x7dbl_4", c7, c7, 7, 1),
+            (f"{pre}.branch7x7dbl_5", 192, c7, 1, 7),
+            (f"{pre}.branch_pool", 192, 768, 1, 1),
+        ]
+
+    def block_e(pre, cin):
+        return [
+            (f"{pre}.branch1x1", 320, cin, 1, 1),
+            (f"{pre}.branch3x3_1", 384, cin, 1, 1),
+            (f"{pre}.branch3x3_2a", 384, 384, 1, 3),
+            (f"{pre}.branch3x3_2b", 384, 384, 3, 1),
+            (f"{pre}.branch3x3dbl_1", 448, cin, 1, 1),
+            (f"{pre}.branch3x3dbl_2", 384, 448, 3, 3),
+            (f"{pre}.branch3x3dbl_3a", 384, 384, 1, 3),
+            (f"{pre}.branch3x3dbl_3b", 384, 384, 3, 1),
+            (f"{pre}.branch_pool", 192, cin, 1, 1),
+        ]
+
+    spec += block_a("Mixed_5b", 192, 32)
+    spec += block_a("Mixed_5c", 256, 64)
+    spec += block_a("Mixed_5d", 288, 64)
+    spec += [
+        ("Mixed_6a.branch3x3", 384, 288, 3, 3),
+        ("Mixed_6a.branch3x3dbl_1", 64, 288, 1, 1),
+        ("Mixed_6a.branch3x3dbl_2", 96, 64, 3, 3),
+        ("Mixed_6a.branch3x3dbl_3", 96, 96, 3, 3),
+    ]
+    spec += block_c("Mixed_6b", 128)
+    spec += block_c("Mixed_6c", 160)
+    spec += block_c("Mixed_6d", 160)
+    spec += block_c("Mixed_6e", 192)
+    spec += [
+        ("Mixed_7a.branch3x3_1", 192, 768, 1, 1),
+        ("Mixed_7a.branch3x3_2", 320, 192, 3, 3),
+        ("Mixed_7a.branch7x7x3_1", 192, 768, 1, 1),
+        ("Mixed_7a.branch7x7x3_2", 192, 192, 1, 7),
+        ("Mixed_7a.branch7x7x3_3", 192, 192, 7, 1),
+        ("Mixed_7a.branch7x7x3_4", 192, 192, 3, 3),
+    ]
+    spec += block_e("Mixed_7b", 1280)
+    spec += block_e("Mixed_7c", 2048)
+
+    g = torch.Generator().manual_seed(seed)
+    state = {}
+    for mod, o, i, kh, kw in spec:
+        state[f"{mod}.conv.weight"] = torch.randn(o, i, kh, kw,
+                                                  generator=g) * 0.05
+        state[f"{mod}.bn.weight"] = 0.5 + torch.rand(o, generator=g)
+        state[f"{mod}.bn.bias"] = torch.randn(o, generator=g) * 0.05
+        state[f"{mod}.bn.running_mean"] = torch.randn(o, generator=g) * 0.05
+        state[f"{mod}.bn.running_var"] = 0.5 + torch.rand(o, generator=g)
+    return state
+
+
+def test_inception_converter_roundtrip(tmp_path):
+    """--inception conversion (BN folding) + the JAX InceptionV3-FID
+    forward: (a) folded conv == torch conv+BN(eval)+relu numerically on a
+    stem module; (b) the full pool3 graph wires every Mixed block's
+    channels correctly end to end, yielding (N, 2048) finite features
+    (VERDICT r3 #7; reference pathway `Deraining/basicsr/metrics/
+    fid.py:10-54`)."""
+    import sys
+
+    import numpy as np
+    import pytest as _pytest
+
+    torch = _pytest.importorskip("torch")
+    import torch.nn.functional as tF
+
+    sys.path.insert(0, "scripts")
+    from convert_metric_weights import convert_inception
+
+    state = _synth_inception_state(torch)
+    arrays = convert_inception(state)
+    assert arrays["Mixed_7c.branch_pool/kernel"].shape == (1, 1, 2048, 192)
+    npz = str(tmp_path / "inception_fid.npz")
+    np.savez(npz, **arrays)
+
+    from vmambair_tpu.metrics.inception import (
+        _conv,
+        inception_pool3,
+        load_inception_params,
+    )
+
+    params = load_inception_params(npz)
+
+    # (a) BN-fold numerical parity on the stride-2 stem conv
+    x_t = torch.rand(1, 3, 11, 11, generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        y_t = tF.relu(tF.batch_norm(
+            tF.conv2d(x_t, state["Conv2d_1a_3x3.conv.weight"], stride=2),
+            state["Conv2d_1a_3x3.bn.running_mean"],
+            state["Conv2d_1a_3x3.bn.running_var"],
+            state["Conv2d_1a_3x3.bn.weight"],
+            state["Conv2d_1a_3x3.bn.bias"],
+            training=False, eps=1e-3,
+        )).numpy()
+
+    import jax.numpy as jnp
+
+    y_j = _conv(params, "Conv2d_1a_3x3",
+                jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1)), stride=2)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(y_j), (0, 3, 1, 2)), y_t,
+        rtol=1e-4, atol=1e-5,
+    )
+
+    # (b) full pool3 forward (75 px input keeps every block >= 1x1
+    # without the 299-resize; any wiring error breaks a concat/conv shape)
+    imgs = np.random.RandomState(0).rand(2, 75, 75, 3).astype(np.float32)
+    feats = inception_pool3(jnp.asarray(imgs), params, resize_input=False)
+    feats = np.asarray(feats)
+    assert feats.shape == (2, 2048)
+    assert np.isfinite(feats).all()
+
+    # extractor entry point used by the FID pipeline
+    from vmambair_tpu.metrics.fid import extract_inception_features
+
+    out = extract_inception_features(imgs, npz, resize_input=False, batch=1)
+    assert out.shape == (2, 2048)
+    np.testing.assert_allclose(out, feats, rtol=2e-4, atol=2e-4)

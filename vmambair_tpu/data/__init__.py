@@ -8,7 +8,8 @@ from __future__ import annotations
 import logging
 
 from ..utils.registry import DATASET_REGISTRY, build_from_cfg
-from .loader import DataLoader, EnlargedSampler, InfinitePrefetcher
+from .loader import (DataLoader, DevicePrefetcher, EnlargedSampler,
+                     InfinitePrefetcher)
 from .paired_dataset import PairedImageDataset, SingleImageDataset
 from .realesrgan_dataset import RealESRGANDataset, RealESRGANPairedDataset
 from .task_datasets import (
@@ -80,6 +81,7 @@ __all__ = [
     "DataLoader",
     "EnlargedSampler",
     "InfinitePrefetcher",
+    "DevicePrefetcher",
     "PairedImageDataset",
     "SingleImageDataset",
     "RealESRGANDataset",

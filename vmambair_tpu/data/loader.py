@@ -177,6 +177,47 @@ class DataLoader:
             stop.set()
 
 
+class DevicePrefetcher:
+    """Device-side double-buffered prefetch — the reference
+    CUDAPrefetcher's TPU analog (`/root/reference/Deraining/basicsr/data/
+    prefetch_dataloader.py:84-126`, side-stream pinned-memory H2D): when
+    `next()` hands batch N to the train loop, batch N+1's host->device
+    transfer has already been issued (JAX dispatch is async), so the DMA
+    overlaps step N's compute instead of serializing inside feed_data.
+
+    put: starts the transfer (typically `model.put_batch`).
+    transform: optional host-side batch transform applied BEFORE the
+    transfer (progressive-learning cropping), called as
+    `transform(batch, seq)` with the 1-based sequence number the batch
+    will be consumed at — shapes must be final before the device copy.
+    """
+
+    def __init__(self, prefetcher: "InfinitePrefetcher", put,
+                 transform=None):
+        self.prefetcher = prefetcher
+        self.put = put
+        self.transform = transform
+        self._seq = 0
+        self._next: Optional[Dict[str, Any]] = None
+        self._preload()
+
+    @property
+    def epoch(self):
+        return self.prefetcher.epoch
+
+    def _preload(self):
+        batch = self.prefetcher.next()
+        self._seq += 1
+        if self.transform is not None:
+            batch = self.transform(batch, self._seq)
+        self._next = self.put(batch)
+
+    def next(self) -> Dict[str, Any]:
+        batch = self._next
+        self._preload()
+        return batch
+
+
 class InfinitePrefetcher:
     """Wraps a DataLoader into a never-ending iterator, advancing epochs —
     the reference's `prefetcher.next()` + epoch loop

@@ -15,6 +15,7 @@ pipeline exercisable end to end.
 
 from __future__ import annotations
 
+import logging
 import math
 from typing import Dict, Optional, Sequence
 
@@ -23,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.registry import LOSS_REGISTRY
+
+logger = logging.getLogger("vmambair_tpu")
 
 # VGG conv plans: (name, out_channels); 'M' = 2x2 maxpool
 VGG19_LAYERS = [
@@ -160,6 +163,14 @@ class PerceptualLoss:
         self.style_weight = style_weight
         self.criterion = criterion
         self.params, self.is_pretrained = _init_vgg_params(pretrained_path)
+        if not self.is_pretrained:
+            logger.warning(
+                "PerceptualLoss has no pretrained_path — using seeded "
+                "RANDOM VGG19 features: the loss is a usable structured "
+                "training signal but NOT the published VGG19-perceptual "
+                "loss (convert torchvision weights via "
+                "scripts/convert_metric_weights.py for parity)"
+            )
 
     def _crit(self, a, b):
         if self.criterion == "l1":

@@ -1,12 +1,15 @@
 """FID (Frechet Inception Distance).
 
 Rebuilds `/root/reference/Deraining/basicsr/metrics/fid.py:57-102`: Frechet
-distance between Gaussians fitted to feature activations. The reference
-extracts features with a pretrained InceptionV3-FID network; pretrained
-weights cannot be downloaded in this environment, so `calculate_fid`
-operates on caller-supplied feature arrays (or statistics), and
-`extract_vgg_features` offers a weights-path-gated extractor consistent
-with the LPIPS/DISTS handling.
+distance between Gaussians fitted to feature activations.
+`extract_inception_features` is the published-FID pathway (InceptionV3
+pool3 features, `fid.py:22-54`) — convert the `pt_inception-2015-12-05`
+checkpoint via `scripts/convert_metric_weights.py --inception` (weights
+cannot be downloaded in this environment). `extract_vgg_features` remains
+as the weights-path-gated VGG fallback consistent with the LPIPS/DISTS
+handling; without pretrained weights either extractor is a seeded-random
+backbone (deterministic but NOT comparable to published numbers — the
+validation loop reports such metrics as `*_uncalibrated`).
 """
 
 from __future__ import annotations
@@ -73,3 +76,30 @@ def extract_vgg_features(imgs, weights_path: Optional[str] = None,
     x = (jnp.asarray(imgs, jnp.float32) - IMAGENET_MEAN) / IMAGENET_STD
     feats = vgg19_features(x, params, [layer], False, False)[layer]
     return np.asarray(jnp.mean(feats, axis=(1, 2)))
+
+
+def extract_inception_features(imgs, weights_path: str,
+                               resize_input: bool = True,
+                               normalize_input: bool = False,
+                               batch: int = 16) -> np.ndarray:
+    """Published-FID features: InceptionV3 pool3 (N, 2048) activations
+    (reference `fid.py:22-54` / `load_patched_inception_v3`). imgs:
+    (N, H, W, 3) RGB in [0, 1]. Requires a converted checkpoint npz
+    (`scripts/convert_metric_weights.py --inception`)."""
+    import jax
+
+    from .inception import inception_pool3, load_inception_params
+
+    params = load_inception_params(weights_path)
+    fn = jax.jit(
+        lambda x: inception_pool3(
+            x, params, resize_input=resize_input,
+            normalize_input=normalize_input,
+        )
+    )
+    imgs = np.asarray(imgs, np.float32)
+    outs = [
+        np.asarray(fn(imgs[i : i + batch]))
+        for i in range(0, len(imgs), batch)
+    ]
+    return np.concatenate(outs, axis=0)

@@ -198,8 +198,7 @@ class SRGANModel(SRModel):
                 self.params_d, self.state_d,
                 self.lq, self.gt, jnp.float32(lr),
             )
-            for k, v in losses.items():
-                log[k] = float(v)
+            log.update(losses)  # device scalars; synced in get_current_log
         else:
             output = jax.jit(self.net_g.apply)(self.params, self.lq)
 
@@ -208,8 +207,7 @@ class SRGANModel(SRModel):
             self.params_d, self.state_d, self.opt_state_d,
             output, self.gt, jnp.float32(lr_d),
         )
-        for k, v in d_losses.items():
-            log[k] = float(v)
+        log.update(d_losses)
         log["lr"] = float(lr)
         self.log_dict = log
 

@@ -41,7 +41,6 @@ from ..ops.degradation import (
     resize_to,
     usm_sharp,
 )
-from ..parallel.mesh import batch_sharding, replicated
 from ..utils.registry import MODEL_REGISTRY
 from .gan_model import SRGANModel
 from .sr_model import SRModel
@@ -229,24 +228,27 @@ class _DegradationMixin:
         self._queue_ptr += b
         return lq, gt
 
+    def put_batch(self, data: Dict[str, Any], keys=None) -> Dict[str, Any]:
+        if keys is None:
+            keys = (
+                ("gt", "kernel1", "kernel2", "sinc_kernel")
+                if self.is_train and "kernel1" in data else ("lq", "gt")
+            )
+        return SRModel.put_batch(self, data, keys)
+
     def feed_data(self, data: Dict[str, Any]):
+        data = self.put_batch(data)
         if not self.is_train or "kernel1" not in data:
             # val/test path: plain paired data (`MambaRealSRGAN_model.py:
             # 246-258`)
-            SRModel.feed_data(self, data)
+            self.lq = data["lq"]
+            self.gt = data.get("gt")
             self.gt_usm = self.gt
             return
-        n_dev = self.mesh.devices.size
-        b = np.asarray(data["gt"]).shape[0]
-        sh = (batch_sharding(self.mesh) if b % n_dev == 0
-              else replicated(self.mesh))
-        gt = jax.device_put(jnp.asarray(data["gt"], jnp.float32), sh)
-        kernel1 = jax.device_put(
-            jnp.asarray(data["kernel1"], jnp.float32), sh)
-        kernel2 = jax.device_put(
-            jnp.asarray(data["kernel2"], jnp.float32), sh)
-        sinc = jax.device_put(
-            jnp.asarray(data["sinc_kernel"], jnp.float32), sh)
+        gt = data["gt"]
+        kernel1 = data["kernel1"]
+        kernel2 = data["kernel2"]
+        sinc = data["sinc_kernel"]
         self.rng, k = jax.random.split(self.rng)
         gt_c, gt_usm_c, lq = self._synth(k, gt, kernel1, kernel2, sinc)
         lq, gt_pair = self._dequeue_and_enqueue(
@@ -338,8 +340,7 @@ class RealESRGANModel(_DegradationMixin, SRGANModel):
                 self.params_d, self.state_d,
                 self.lq, self.gt, self.gt_usm, jnp.float32(lr),
             )
-            for k, v in losses.items():
-                log[k] = float(v)
+            log.update(losses)  # device scalars; synced in get_current_log
         else:
             output = jax.jit(self.net_g.apply)(self.params, self.lq)
         gan_gt = self.gt_usm if self.gan_gt_usm else self.gt
@@ -348,8 +349,7 @@ class RealESRGANModel(_DegradationMixin, SRGANModel):
             self.params_d, self.state_d, self.opt_state_d,
             output, gan_gt, jnp.float32(lr_d),
         )
-        for k, v in d_losses.items():
-            log[k] = float(v)
+        log.update(d_losses)
         log["lr"] = float(lr)
         self.log_dict = log
 
