@@ -496,6 +496,20 @@ def main():
     detail = dict(headline["detail"])
     skipped = []
 
+    def checkpoint_details():
+        # persist after EVERY section so a kill at any point loses only
+        # the in-flight section, never completed ones
+        snap = dict(headline)
+        snap["detail"] = dict(detail, skipped=list(skipped))
+        try:
+            side = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_DETAILS.json")
+            with open(side, "w") as f:
+                json.dump(snap, f, indent=1)
+        except Exception:  # noqa: BLE001
+            pass
+
     # on-chip compiled-kernel parity: Pallas vs chunked-XLA scan at a hot
     # shape (the CPU suite only exercises interpret mode; this catches
     # Mosaic-compile divergence, VERDICT r1 Missing #4). Three cases
@@ -538,6 +552,7 @@ def main():
                 jnp.float32)
         except Exception as e:  # noqa: BLE001
             detail["parity_unfused_error"] = repr(e)[:200]
+        checkpoint_details()
 
     if not _over_budget("parity_fused", skipped):
         try:
@@ -580,6 +595,7 @@ def main():
                 num / den, 8)
         except Exception as e:  # noqa: BLE001
             detail["parity_fused_error"] = repr(e)[:200]
+        checkpoint_details()
 
     # compiled BACKWARD-kernel parity: every CPU test runs the Pallas
     # backward in interpret mode only, so a Mosaic-only miscompile in
@@ -628,19 +644,28 @@ def main():
                 num / den, 8)
         except Exception as e:  # noqa: BLE001
             detail["parity_backward_error"] = repr(e)[:200]
+        checkpoint_details()
 
     ablation = None
     if not _over_budget("scan_ablation", skipped):
         ablation = bench_scan_ablation(net, params, x, dt)
         detail.update(ablation)
+        checkpoint_details()
 
     if not _over_budget("roofline", skipped):
         _mark("roofline")
         detail.update(bench_roofline(net, params, x, mps, ablation))
+        checkpoint_details()
 
-    if not _over_budget("train_step", skipped):
+    # the full-model value_and_grad compile has never finished inside a
+    # bench run (45+ min through the tunnel; r3's driver died here) —
+    # OPT-IN only; the recorded train numbers come from tools/ktrain.py
+    if not os.environ.get("VMAMBAIR_BENCH_TRAIN"):
+        skipped.append("train_step(opt-in: VMAMBAIR_BENCH_TRAIN=1)")
+    elif not _over_budget("train_step", skipped):
         _mark("train step")
         detail.update(bench_train_step(net, params))
+        checkpoint_details()
 
     detail["skipped"] = skipped
     detail["baseline_note"] = (

@@ -166,3 +166,68 @@ def test_convert_metric_weights_dists(tmp_path, monkeypatch):
     assert "alpha" in data and "beta" in data
     total = data["alpha"].sum() + data["beta"].sum()
     assert np.isfinite(total) and data["alpha"].size > 1000
+
+
+def test_create_lmdb_pack_path_and_meta(tmp_path, monkeypatch):
+    """create_lmdb: meta_info lines follow the reference's
+    `name.png (h,w,c) level` convention (`lmdb_util.py`), keys are
+    extension-less, and the --format pack path round-trips through the
+    native packfile backend. The lmdb branch itself needs the optional
+    lmdb package (absent here) and must fail with the documented message."""
+    import sys
+
+    import numpy as np
+    import pytest
+
+    sys.path.insert(0, "scripts")
+    import create_lmdb as cl
+
+    from vmambair_tpu.utils.img_util import imwrite
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        imwrite((rng.rand(6 + i, 5, 3) * 255).astype(np.uint8),
+                str(src / f"im{i}.png"))
+
+    items = cl.gather_images(str(src))
+    assert items == [(f"im{i}.png", f"im{i}") for i in range(3)]
+    assert cl.meta_line("im0.png", (6, 5, 3), 1) == "im0.png (6,5,3) 1"
+
+    pack = str(tmp_path / "imgs.pack")
+    n = cl.write_pack(str(src), pack, compress_level=1)
+    assert n == 3
+    meta = open(pack + ".meta_info.txt").read().strip().splitlines()
+    assert meta[0] == "im0.png (6,5,3) 1"
+    assert meta[2] == "im2.png (8,5,3) 1"
+
+    from vmambair_tpu.data.packfile import PackReader
+
+    rd = PackReader(pack)
+    assert sorted(rd.keys()) == ["im0", "im1", "im2"]
+    import cv2
+
+    img = cv2.imdecode(
+        np.frombuffer(rd.get("im1"), np.uint8), cv2.IMREAD_UNCHANGED
+    )
+    assert img.shape == (7, 5, 3)
+    rd.close()
+
+    # lmdb branch: optional dep absent -> documented SystemExit
+    if not _has_lmdb():
+        with pytest.raises(SystemExit, match="lmdb"):
+            monkeypatch.setattr(
+                sys, "argv",
+                ["create_lmdb.py", "--input", str(src), "--output",
+                 str(tmp_path / "imgs.lmdb")],
+            )
+            cl.main()
+
+
+def _has_lmdb():
+    try:
+        import lmdb  # noqa: F401
+        return True
+    except ImportError:
+        return False

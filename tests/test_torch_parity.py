@@ -310,3 +310,117 @@ def test_torch_parity_full_size(arch_name):
         f"(rc={proc.returncode}):\n{proc.stdout[-2000:]}\n"
         f"{proc.stderr[-4000:]}"
     )
+
+
+# -- A/B TRAINING parity (VERDICT r3 #3): the strongest 0.05 dB proxy this
+# environment allows. Identical converted init, identical synthetic
+# batches, matched Adam semantics (`MambaSISR_model.py:120-147`: Adam
+# lr 2e-4 betas (0.9, 0.99), L1 mean loss) — the per-step loss
+# trajectories of the torch reference arch and our OSSNet must track, and
+# the first-K-step gradients must match through the converter mapping.
+
+def run_ab_training(iters=12, check_grads=2, lq_hw=16, batch=2, seed=7,
+                    verbose=False):
+    """Train the reference torch MambaSISR6 (tiny config, pure-torch
+    sequential scan) and the converted-init OSSNet side by side. Returns
+    (losses_torch, losses_jax, grad_rel_errs)."""
+    import optax
+    from flax import serialization
+
+    from convert_torch_weights import convert
+    from vmambair_tpu.models import build_network
+
+    torch_cfg = dict(dim=8, num_blocks=[1, 1, 1, 1],
+                     num_refinement_blocks=1, scale=4)
+    jax_opt = dict(type="OSSNet", dim=8, num_blocks=[1, 1, 1, 1],
+                   num_refinement_blocks=1, scale=4, scan_impl="xla")
+
+    mod = _load_reference_arch("MambaSISR6")
+    torch.manual_seed(0)
+    net_t = mod.MambaSISR6(**torch_cfg)
+    state = {k: v.detach().numpy() for k, v in net_t.state_dict().items()}
+
+    net_j = build_network(jax_opt)
+    x0 = jnp.zeros((1, lq_hw, lq_hw, 3), jnp.float32)
+    target = net_j.init(jax.random.PRNGKey(0), x0)
+    variables = serialization.from_state_dict(
+        target, {"params": convert(state)}
+    )
+
+    opt_t = torch.optim.Adam(net_t.parameters(), lr=2e-4, betas=(0.9, 0.99))
+    tx = optax.adam(2e-4, b1=0.9, b2=0.99)  # same update rule as torch Adam
+    opt_state = tx.init(variables)
+
+    def loss_fn(v, lq, gt):
+        out = net_j.apply(v, lq)
+        return jnp.mean(jnp.abs(out - gt))
+
+    @jax.jit
+    def step_j(v, opt_state, lq, gt):
+        loss, grads = jax.value_and_grad(loss_fn)(v, lq, gt)
+        updates, opt_state = tx.update(grads, opt_state, v)
+        return optax.apply_updates(v, updates), opt_state, loss, grads
+
+    rng = np.random.RandomState(seed)
+    losses_t, losses_j, grad_rels = [], [], []
+    for i in range(iters):
+        lq = rng.rand(batch, 3, lq_hw, lq_hw).astype(np.float32)
+        gt = rng.rand(batch, 3, lq_hw * 4, lq_hw * 4).astype(np.float32)
+
+        opt_t.zero_grad()
+        out_t = net_t(torch.from_numpy(lq))
+        loss_t = (out_t - torch.from_numpy(gt)).abs().mean()
+        loss_t.backward()
+
+        lq_j = jnp.asarray(np.transpose(lq, (0, 2, 3, 1)))
+        gt_j = jnp.asarray(np.transpose(gt, (0, 2, 3, 1)))
+        variables, opt_state, loss_j, grads_j = step_j(
+            variables, opt_state, lq_j, gt_j
+        )
+
+        if i < check_grads:
+            tgrads = {
+                k: p.grad.detach().numpy()
+                for k, p in net_t.named_parameters()
+            }
+            g_ref = serialization.from_state_dict(
+                target, {"params": convert(tgrads)}
+            )
+            num = den = 0.0
+            for a, b in zip(jax.tree_util.tree_leaves(grads_j),
+                            jax.tree_util.tree_leaves(g_ref)):
+                num = max(num, float(jnp.max(jnp.abs(
+                    a.astype(jnp.float32) - b.astype(jnp.float32)))))
+                den = max(den, float(jnp.max(jnp.abs(b))))
+            grad_rels.append(num / (den + 1e-12))
+
+        opt_t.step()
+        losses_t.append(float(loss_t.detach()))
+        losses_j.append(float(loss_j))
+        if verbose:
+            print(f"iter {i+1:4d}  torch {losses_t[-1]:.6f}  "
+                  f"jax {losses_j[-1]:.6f}  "
+                  f"rel {abs(losses_t[-1]-losses_j[-1])/losses_t[-1]:.2e}",
+                  flush=True)
+    return losses_t, losses_j, grad_rels
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REF_ARCH), reason="reference snapshot not present"
+)
+def test_ab_training_parity():
+    """CI guard: 12 optimizer steps of both frameworks from identical
+    converted init on identical batches — losses track step for step and
+    the first-2-step gradients agree through the converter mapping."""
+    losses_t, losses_j, grad_rels = run_ab_training(iters=12, check_grads=2)
+    for g in grad_rels:
+        assert g < 2e-3, f"first-step gradient mismatch: {grad_rels}"
+    for i, (a, b) in enumerate(zip(losses_t, losses_j)):
+        rel = abs(a - b) / (abs(a) + 1e-12)
+        assert rel < 2e-3, (
+            f"loss trajectories diverge at iter {i+1}: torch {a} vs "
+            f"jax {b} (rel {rel:.2e})\n{losses_t}\n{losses_j}"
+        )
+    # both must actually be LEARNING (trajectory comparison is vacuous on
+    # a flat loss)
+    assert losses_t[-1] < losses_t[0]
