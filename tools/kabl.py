@@ -114,6 +114,11 @@ def main():
     def ffn_zero(self, x):
         return jnp.zeros_like(x)
 
+    def ffn_res_ident(self, x, ln_w, ln_b, eps=1e-5, interpret=False):
+        # fused path stand-in: the residual branch contributes nothing
+        e = (jnp.sum(ln_w) + jnp.sum(ln_b)) * 1e-12
+        return (x.astype(jnp.float32) * (1.0 + e)).astype(x.dtype)
+
     def chan_ones(self, y2):
         b, h, w, c = y2.shape
         return jnp.ones((b, 1, 1, c), y2.dtype)
@@ -130,13 +135,16 @@ def main():
     cases = {
         "no_dwconv": [(L.Conv2d, "__call__", conv_no_dw)],
         "no_norms": [(L.LayerNorm2d, "__call__", ln_identity)],
-        "no_effn": [(L.FeedForward, "__call__", ffn_zero)],
+        "no_effn": [(L.FeedForward, "__call__", ffn_zero),
+                    (L.FeedForward, "fused_residual", ffn_res_ident)],
         "no_channel": [(O.ChannelScan, "__call__", chan_ones)],
         "no_scan": [(O, "selective_scan", scan_ident),
                     (O, "oss_scan_fused", fused_ident)],
     }
     only = sys.argv[1:] or list(cases)
     for tag in only:
+        if tag == "full":
+            continue  # always timed above; `kabl.py full` = step timing only
         with patched(*cases[tag]):
             results[tag] = timed_step(tag)
 

@@ -77,47 +77,140 @@ class LayerNorm2d(nn.Module):
 
     bias=False reproduces `BiasFree_LayerNorm`: x / sqrt(var + eps) * w with
     var the mean-subtracted variance but NO mean subtraction in the output.
+
+    setup-style (not compact) so fused consumers can read the affine params
+    via `scale_bias()` without applying the norm (`ops/pallas_effn.py`
+    computes it inside the kernel).
     """
 
     dim: int
     use_bias: bool = True
     eps: float = 1e-5
 
-    @nn.compact
+    def setup(self):
+        self.weight = self.param("weight", nn.initializers.ones, (self.dim,))
+        if self.use_bias:
+            self.bias = self.param("bias", nn.initializers.zeros,
+                                   (self.dim,))
+
+    def scale_bias(self):
+        return self.weight, (self.bias if self.use_bias else None)
+
     def __call__(self, x):
         dtype = x.dtype
         xf = x.astype(jnp.float32)
         mu = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-        w = self.param("weight", nn.initializers.ones, (self.dim,))
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.dim,))
-            y = (xf - mu) * jax.lax.rsqrt(var + self.eps) * w + b
+            y = ((xf - mu) * jax.lax.rsqrt(var + self.eps) * self.weight
+                 + self.bias)
         else:
-            y = xf * jax.lax.rsqrt(var + self.eps) * w
+            y = xf * jax.lax.rsqrt(var + self.eps) * self.weight
         return y.astype(dtype)
 
 
+class _ConvKernel(nn.Module):
+    """Parameter holder matching nn.Conv's param tree ({kernel[, bias]})."""
+
+    shape: Sequence[int]
+    fan_in: int
+    use_bias: bool
+
+    def setup(self):
+        self.kernel = self.param("kernel", torch_kernel_init,
+                                 tuple(self.shape))
+        if self.use_bias:
+            self.bias = self.param("bias", torch_bias_init(self.fan_in),
+                                   (self.shape[-1],))
+
+    def get(self):
+        return self.kernel, (self.bias if self.use_bias else None)
+
+
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for the Conv2d wrapper: owns the identical
+    `<name>/conv/{kernel,bias}` tree (same shapes, same torch-default init,
+    same rng folding) without requiring a forward call to materialize."""
+
+    features: int
+    kernel_size: int
+    in_ch: int
+    groups: int = 1
+    use_bias: bool = True
+
+    def setup(self):
+        k = self.kernel_size
+        self.conv = _ConvKernel(
+            (k, k, self.in_ch // self.groups, self.features),
+            (self.in_ch // self.groups) * k * k,
+            self.use_bias,
+        )
+
+    def get(self):
+        return self.conv.get()
+
+    def __call__(self, x, dtype=None):
+        """Apply the conv (torch k//2 padding), matching Conv2d/nn.Conv
+        dtype promotion."""
+        kernel, bias = self.conv.get()
+        from flax.linen.dtypes import promote_dtype
+
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=dtype)
+        pad = self.kernel_size // 2
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+        )
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class FeedForward(nn.Module):
-    """Gated-Dconv FFN (Restormer GDFN; `MambaSISR6_arch.py:201-218`)."""
+    """Gated-Dconv FFN (Restormer GDFN; `MambaSISR6_arch.py:201-218`).
+
+    Owns its conv parameters directly (identical tree to the previous
+    Conv2d wrappers: `{project_in,dwconv,project_out}/conv/*`) so the
+    fused residual-branch Pallas kernel (`ops/pallas_effn.py`) can consume
+    them without materializing the hidden-channel intermediates in HBM.
+    `__call__` is the standard composite; `fused_residual` is the kernel
+    path (norm + GDFN + residual in one op) used by MamberBlock on TPU.
+    """
 
     dim: int
     ffn_expansion_factor: float = 2.66
     use_bias: bool = False
     dtype: Any = None
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         hidden = int(self.dim * self.ffn_expansion_factor)
-        x = Conv2d(hidden * 2, 1, use_bias=self.use_bias, dtype=self.dtype,
-                   name="project_in")(x)
-        x = Conv2d(hidden * 2, 3, groups=hidden * 2, use_bias=self.use_bias,
-                   dtype=self.dtype, name="dwconv")(x)
+        self.project_in = _ConvParams(
+            hidden * 2, 1, self.dim, use_bias=self.use_bias)
+        self.dwconv = _ConvParams(
+            hidden * 2, 3, hidden * 2, groups=hidden * 2,
+            use_bias=self.use_bias)
+        self.project_out = _ConvParams(
+            self.dim, 1, hidden, use_bias=self.use_bias)
+
+    def __call__(self, x):
+        x = self.project_in(x, self.dtype)
+        x = self.dwconv(x, self.dtype)
         x1, x2 = jnp.split(x, 2, axis=-1)
         x = nn.gelu(x1) * x2
-        x = Conv2d(self.dim, 1, use_bias=self.use_bias, dtype=self.dtype,
-                   name="project_out")(x)
-        return x
+        return self.project_out(x, self.dtype)
+
+    def fused_residual(self, x, ln_w, ln_b, eps=1e-5, interpret=False):
+        """`x + GDFN(LayerNorm(x))` via the fused Pallas kernel. Caller
+        must have checked `effn_fused_supported` and use_bias=False."""
+        from ..ops.pallas_effn import gdfn_residual_fused
+
+        k_in, _ = self.project_in.get()
+        k_dw, _ = self.dwconv.get()
+        k_out, _ = self.project_out.get()
+        return gdfn_residual_fused(
+            x, ln_w, ln_b, k_in[0, 0], k_dw[:, :, 0], k_out[0, 0],
+            eps=eps, interpret=interpret)
 
 
 class OverlapPatchEmbed(nn.Module):

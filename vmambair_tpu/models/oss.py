@@ -36,12 +36,19 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.cross_scan import cross_scan_2d, cross_merge_2d
+from ..ops.pallas_effn import oss_front_fused, oss_front_supported
 from ..ops.pallas_scan import (
     fused_scan_supported,
     oss_scan_fused,
     selective_scan,
 )
-from .layers import Conv2d, LayerNorm2d, torch_kernel_init, torch_bias_init
+from .layers import (
+    Conv2d,
+    LayerNorm2d,
+    _ConvParams,
+    torch_kernel_init,
+    torch_bias_init,
+)
 
 
 def _dt_projs_weight_init(rank):
@@ -321,7 +328,10 @@ class OSS(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, norm=None):
+        """norm: the preceding LayerNorm2d (MamberBlock's norm1), passed
+        un-applied so the fused front kernel (`ops/pallas_effn.py`) can
+        fold it in; None means x is already normalized (or no norm)."""
         d_model = self.d_model
         d_expand = int(self.ssm_ratio * d_model)
         d_inner = (
@@ -336,14 +346,47 @@ class OSS(nn.Module):
             math.ceil(d_model / 16) if self.dt_rank == "auto" else self.dt_rank
         )
 
-        xz = Conv2d(d_expand * 2, 1, use_bias=True, dtype=self.dtype,
-                    name="in_conv")(x)
-        xs, z = jnp.split(xz, 2, axis=-1)
-        z = nn.silu(z)
-        xs = Conv2d(d_expand, self.d_conv, groups=d_expand,
-                    use_bias=self.conv_bias, dtype=self.dtype,
-                    name="conv2d")(xs)
-        xs = nn.silu(xs)
+        interp = self.scan_impl == "fused_interpret"
+        use_front = (
+            norm is not None
+            and norm.use_bias
+            and self.d_conv == 3
+            and oss_front_supported(x.shape, interpret=interp)
+            and (interp or (self.scan_impl in ("auto", "pallas")
+                            and jax.default_backend() == "tpu"))
+        )
+        if use_front:
+            # fused norm1 + in_conv + chunk + SiLU(z) + SiLU(dwconv(x)):
+            # one HBM read of x, two writes (xs, z), no hidden round-trips
+            k_in, b_in = _ConvParams(
+                d_expand * 2, 1, d_model, use_bias=True, name="in_conv"
+            ).get()
+            k_dw, b_dw = _ConvParams(
+                d_expand, self.d_conv, d_expand, groups=d_expand,
+                use_bias=self.conv_bias, name="conv2d",
+            ).get()
+            lw, lb = norm.scale_bias()
+            w_in2 = k_in[0, 0]
+            if b_dw is None:
+                b_dw = jnp.zeros((d_expand,), jnp.float32)
+            xs, z = oss_front_fused(
+                x, lw, lb,
+                w_in2[:, :d_expand], b_in[:d_expand],
+                w_in2[:, d_expand:], b_in[d_expand:],
+                k_dw[:, :, 0], b_dw,
+                eps=norm.eps, interpret=interp,
+            )
+        else:
+            if norm is not None:
+                x = norm(x)
+            xz = Conv2d(d_expand * 2, 1, use_bias=True, dtype=self.dtype,
+                        name="in_conv")(x)
+            xs, z = jnp.split(xz, 2, axis=-1)
+            z = nn.silu(z)
+            xs = Conv2d(d_expand, self.d_conv, groups=d_expand,
+                        use_bias=self.conv_bias, dtype=self.dtype,
+                        name="conv2d")(xs)
+            xs = nn.silu(xs)
 
         low_rank = d_inner < d_expand
         if low_rank:

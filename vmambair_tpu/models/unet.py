@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas_effn import effn_fused_supported
 from .layers import (
     Conv2d,
     Downsample,
@@ -59,11 +60,29 @@ class MamberBlock(nn.Module):
             scan_impl=self.scan_impl,
             dtype=self.dtype,
             name="attn",
-        )(LayerNorm2d(self.dim, use_bias=self.ln_bias, name="norm1")(x))
-        x = x + FeedForward(
+        )(x, norm=LayerNorm2d(self.dim, use_bias=self.ln_bias,
+                              name="norm1"))
+        norm2 = LayerNorm2d(self.dim, use_bias=self.ln_bias, name="norm2")
+        ffn = FeedForward(
             self.dim, self.ffn_expansion_factor, self.use_bias,
             dtype=self.dtype, name="ffn",
-        )(LayerNorm2d(self.dim, use_bias=self.ln_bias, name="norm2")(x))
+        )
+        # fused norm2+EFFN+residual Pallas branch (`ops/pallas_effn.py`):
+        # one HBM read/write instead of five round-trips of the hidden
+        # channels; gated like SpatialScan's fused path
+        interp = self.scan_impl == "fused_interpret"
+        hidden = int(self.dim * self.ffn_expansion_factor)
+        if (
+            not self.use_bias
+            and self.ln_bias
+            and effn_fused_supported(x.shape, hidden, interpret=interp)
+            and (interp or (self.scan_impl in ("auto", "pallas")
+                            and jax.default_backend() == "tpu"))
+        ):
+            w, b = norm2.scale_bias()
+            x = ffn.fused_residual(x, w, b, eps=norm2.eps, interpret=interp)
+        else:
+            x = x + ffn(norm2(x))
         return x
 
 
