@@ -77,12 +77,14 @@ def test_ossnet_grad_flows():
     assert total > 0
 
 
-def test_ossnet_fused_branch_matches_xla():
+def test_ossnet_fused_branch_matches_xla(monkeypatch):
     """Executes the PRODUCTION fused branch of SpatialScan through the
     Pallas interpreter (scan_impl="fused_interpret") and checks the model
     output against the unfused XLA path with identical params — closes the
     "fused op correct but model wiring untested in CI" gap (VERDICT r2
-    weak #4)."""
+    weak #4). VMAMBAIR_OSS_FRONT=1 keeps the (default-off, raced-and-
+    rejected) front kernel's model wiring under interpret coverage too."""
+    monkeypatch.setenv("VMAMBAIR_OSS_FRONT", "1")
     cfg = dict(TINY)
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3))
     m_xla = OSSNet(scale=1, tail="conv_residual", **cfg)

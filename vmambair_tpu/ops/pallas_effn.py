@@ -356,8 +356,21 @@ def oss_front_fused(x, ln_w, ln_b, w_x, b_x, w_z, b_z, w_dw, b_dw, *,
 
 
 def oss_front_supported(shape, interpret=False):
-    """Whether the fused OSS front kernel handles (B,H,W,C)."""
+    """Whether the fused OSS front kernel handles (B,H,W,C).
+
+    DEFAULT OFF (`VMAMBAIR_OSS_FRONT=1` re-enables): the v5e A/B race
+    (tools/kabl.py full, x4 SR tile128/b8) measured the front fusion as
+    a +7.6 ms REGRESSION — 583.2 ms/step fused vs 575.6 unfused — even
+    though the same machinery wins 2-2.6x for the GDFN/EFFN. The
+    difference: XLA already fuses the OSS dwconv+SiLU into adjacent ops
+    nearly for free (the no_dwconv ablation moved the step < noise), so
+    the Pallas kernel's explicit VPU 9-shift + halo recompute buys no
+    HBM-traffic reduction here, unlike the EFFN's five hidden-tensor
+    round-trips. Kept (tested, interpret-covered) as measured evidence.
+    """
     if os.environ.get("VMAMBAIR_EFFN_FUSED", "1") == "0":
+        return False
+    if os.environ.get("VMAMBAIR_OSS_FRONT", "0") != "1":
         return False
     if len(shape) != 4:
         return False
