@@ -119,9 +119,13 @@ def main():
     if not args.no_device_prefetch:
         prefetcher = DevicePrefetcher(prefetcher, model.put_batch)
 
+    import jax.numpy as jnp
+
     def block():
-        jax.block_until_ready(
-            jax.tree_util.tree_leaves(model.params)[0])
+        # through the axon tunnel `block_until_ready` alone does not
+        # force execution — a HOST FETCH does (CLAUDE.md timing rules)
+        leaf = jax.tree_util.tree_leaves(model.params)[0]
+        return float(jnp.sum(leaf))
 
     # warmup: compile + fill prefetch queues
     for it in range(1, 4):
@@ -129,28 +133,45 @@ def main():
         model.optimize_parameters(it)
     block()
 
-    # pipeline timing: loader -> feed -> step, async dispatch throughout
-    data_wait = 0.0
-    t0 = time.perf_counter()
-    for it in range(4, 4 + args.iters):
-        td = time.perf_counter()
-        batch = prefetcher.next()
-        data_wait += time.perf_counter() - td
-        model.feed_data(batch)
-        model.optimize_parameters(it)
-    block()
-    t_pipe = (time.perf_counter() - t0) / args.iters
+    # pipeline timing: loader -> feed -> step, async dispatch throughout,
+    # difference-timed (t(N) - t(1) cancels the fetch + tunnel RTT)
+    state = {"it": 10, "wait": 0.0}
+
+    def run_pipe(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            td = time.perf_counter()
+            batch = prefetcher.next()
+            state["wait"] += time.perf_counter() - td
+            model.feed_data(batch)
+            state["it"] += 1
+            model.optimize_parameters(state["it"])
+        block()
+        return time.perf_counter() - t0
+
+    run_pipe(1)  # settle queues after warmup
+    tp1 = min(run_pipe(1) for _ in range(2))
+    state["wait"] = 0.0
+    tpn = run_pipe(args.iters)
+    t_pipe = max(tpn - tp1, 1e-9) / (args.iters - 1)
+    data_wait = state["wait"]
 
     # pure device-step bound: one resident batch re-fed every iteration
     batch = prefetcher.next()
     model.feed_data(batch)
-    model.optimize_parameters(1)
-    block()
-    t0 = time.perf_counter()
-    for it in range(2, 2 + args.iters):
-        model.optimize_parameters(it)
-    block()
-    t_dev = (time.perf_counter() - t0) / args.iters
+
+    def run_dev(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state["it"] += 1
+            model.optimize_parameters(state["it"])
+        block()
+        return time.perf_counter() - t0
+
+    run_dev(1)
+    td1 = min(run_dev(1) for _ in range(2))
+    tdn = run_dev(args.iters)
+    t_dev = max(tdn - td1, 1e-9) / (args.iters - 1)
 
     print(json.dumps({
         "preset": args.preset,
