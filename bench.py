@@ -24,10 +24,9 @@ after the throughput timing. Diagnostics (kernel parity, scan-ablation
 decomposition, roofline probes, train step) run afterwards under a
 wall-clock budget (`VMAMBAIR_BENCH_BUDGET_S`, default 900 s from process
 start); sections that would start over budget are skipped and listed in
-`detail.skipped`. Results are appended to `BENCH_DETAILS.json` next to this
-file and echoed as a second stdout JSON line whose headline fields
-(metric/value/unit/vs_baseline) are IDENTICAL to line one, so a parser
-taking either the first or the last parseable line records the same number.
+`detail.skipped`. Results are checkpointed to `BENCH_DETAILS.json` next to
+this file after every section; stdout carries exactly ONE JSON line total,
+so any parser convention (first/last/sole line) records the same number.
 """
 
 import json
@@ -684,10 +683,11 @@ def main():
             json.dump(enriched, f, indent=1)
     except Exception:  # noqa: BLE001
         pass
-    # second line: identical headline fields, diagnostics merged — safe
-    # whether the parser takes the first or the last parseable line
-    print(json.dumps(enriched), flush=True)
-    _mark("done")
+    # stdout carries EXACTLY ONE JSON line (the headline, already printed
+    # and flushed right after timing); diagnostics live in
+    # BENCH_DETAILS.json only, so any driver parser — first line, last
+    # line, or sole line — sees the same record (ADVICE r3)
+    _mark("done (diagnostics in BENCH_DETAILS.json)")
 
 
 if __name__ == "__main__":

@@ -83,8 +83,11 @@ def test_ossnet_fused_branch_matches_xla(monkeypatch):
     output against the unfused XLA path with identical params — closes the
     "fused op correct but model wiring untested in CI" gap (VERDICT r2
     weak #4). VMAMBAIR_OSS_FRONT=1 keeps the (default-off, raced-and-
-    rejected) front kernel's model wiring under interpret coverage too."""
+    rejected) front kernel's model wiring under interpret coverage too;
+    VMAMBAIR_OSS_TAIL=1 likewise for the (default-off, raced-and-rejected)
+    merge+out_norm+gate tail kernel."""
     monkeypatch.setenv("VMAMBAIR_OSS_FRONT", "1")
+    monkeypatch.setenv("VMAMBAIR_OSS_TAIL", "1")
     cfg = dict(TINY)
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3))
     m_xla = OSSNet(scale=1, tail="conv_residual", **cfg)

@@ -14,10 +14,13 @@ import pytest
 from vmambair_tpu.ops.pallas_effn import (
     _gdfn_xla,
     _oss_front_xla,
+    _oss_tail_xla,
     effn_fused_supported,
     gdfn_residual_fused,
     oss_front_fused,
     oss_front_supported,
+    oss_tail_fused,
+    oss_tail_supported,
 )
 
 
@@ -130,6 +133,69 @@ def test_oss_front_gradients_match_composite():
         np.testing.assert_allclose(
             np.asarray(gp[k]), np.asarray(rp[k]), rtol=2e-4, atol=2e-5,
             err_msg=k)
+
+
+def _tail_args(shape, dtype=jnp.float32):
+    c = shape[-1]
+    ks = jax.random.split(jax.random.PRNGKey(c), 5)
+    return dict(
+        y_row=(jax.random.normal(ks[0], shape, jnp.float32) * 0.7
+               ).astype(dtype),
+        y_colT=(jax.random.normal(ks[1], shape, jnp.float32) * 0.7
+                ).astype(dtype),
+        z=jax.nn.silu(jax.random.normal(ks[2], shape, jnp.float32)
+                      ).astype(dtype),
+        ln_w=1.0 + 0.1 * jax.random.normal(ks[3], (c,), jnp.float32),
+        ln_b=0.1 * jax.random.normal(ks[4], (c,), jnp.float32),
+    )
+
+
+@pytest.mark.parametrize(
+    "shape,dtype",
+    [
+        ((2, 32, 24, 16), jnp.float32),   # multi-tile rows
+        ((1, 8, 8, 8), jnp.float32),      # single tile
+        ((1, 10, 16, 8), jnp.float32),    # Hb=2 fallback tiling
+        ((2, 16, 16, 12), jnp.bfloat16),  # model dtype: bf16 gate multiply
+    ],
+)
+def test_oss_tail_fused_matches_composite(shape, dtype):
+    a = _tail_args(shape, dtype)
+    ref = _oss_tail_xla(**a, eps=1e-5)
+    got = oss_tail_fused(**a, eps=1e-5, interpret=True)
+    assert got.dtype == a["z"].dtype
+    # bf16: the f32 LN stats reduce in a different order, which can flip
+    # the final bf16 rounding — allow exactly 1 output ulp (2^-7 rel)
+    tol = 2e-5 if dtype == jnp.float32 else 2 ** -7
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=tol, atol=tol)
+
+
+def test_oss_tail_gradients_match_composite():
+    a = _tail_args((1, 16, 16, 8))
+
+    def loss(fn, interp):
+        def f(args):
+            y = (fn(**args, eps=1e-5, interpret=True) if interp
+                 else fn(**args, eps=1e-5))
+            return jnp.sum(y * jnp.sin(y * 0.3))
+        return f
+
+    g = jax.grad(loss(oss_tail_fused, True))(a)
+    r = jax.grad(loss(_oss_tail_xla, False))(a)
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(g[k]), np.asarray(r[k]), rtol=2e-4, atol=2e-5,
+            err_msg=k)
+
+
+def test_oss_tail_supported_gate(monkeypatch):
+    # default OFF (raced: +11.3 ms in-context regression)
+    assert not oss_tail_supported((8, 128, 128, 48), interpret=True)
+    monkeypatch.setenv("VMAMBAIR_OSS_TAIL", "1")
+    assert oss_tail_supported((8, 128, 128, 48), interpret=True)
+    assert not oss_tail_supported((8, 128, 130, 48), interpret=True)
 
 
 def test_effn_fused_supported_gate(monkeypatch):

@@ -511,11 +511,24 @@ def test_uncalibrated_metric_key_renaming(caplog):
         {"type": "calculate_lpips", "weights_path": "w.npz"})
 
     M._warned_uncalibrated.clear()
-    with caplog.at_level(logging.WARNING, logger="vmambair_tpu"):
+    # capture with a handler attached DIRECTLY to the package logger:
+    # any earlier test that called get_root_logger set propagate=False,
+    # which silences caplog's root-logger handler (order-dependent flake)
+    logger = logging.getLogger("vmambair_tpu")
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    old_level = logger.level
+    logger.addHandler(handler)
+    logger.setLevel(logging.WARNING)
+    try:
         key = M.metric_report_key("lpips", {"type": "calculate_lpips"})
         key2 = M.metric_report_key("lpips", {"type": "calculate_lpips"})
+    finally:
+        logger.removeHandler(handler)
+        logger.setLevel(old_level)
     assert key == key2 == "lpips_uncalibrated"
-    warnings = [r for r in caplog.records if "RANDOM backbone" in r.message]
+    warnings = [r for r in records if "RANDOM backbone" in r.getMessage()]
     assert len(warnings) == 1  # warned exactly once
     assert M.metric_report_key(
         "lpips", {"type": "calculate_lpips", "weights_path": "w.npz"}

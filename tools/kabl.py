@@ -131,6 +131,9 @@ def main():
         eps = (jnp.sum(xw) + jnp.sum(dw) + jnp.sum(A)) * 1e-12
         return (u2.astype(jnp.float32) * (1.0 + eps)).astype(u2.dtype)
 
+    def tail_unsupported(shape, interpret=False):
+        return False
+
     results = {"full": timed_step("full")}
     cases = {
         "no_dwconv": [(L.Conv2d, "__call__", conv_no_dw)],
@@ -140,6 +143,11 @@ def main():
         "no_channel": [(O.ChannelScan, "__call__", chan_ones)],
         "no_scan": [(O, "selective_scan", scan_ident),
                     (O, "oss_scan_fused", fused_ident)],
+        # fused-vs-unfused OSS tail race (merge+out_norm+gate Pallas
+        # kernel): `full - no_tailfuse` < 0 means the fusion WINS by
+        # that many ms (reported tailfuse_ms is the fused path's cost
+        # delta, negative = speedup)
+        "no_tailfuse": [(O, "oss_tail_supported", tail_unsupported)],
     }
     only = sys.argv[1:] or list(cases)
     for tag in only:

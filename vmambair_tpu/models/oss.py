@@ -36,7 +36,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.cross_scan import cross_scan_2d, cross_merge_2d
-from ..ops.pallas_effn import oss_front_fused, oss_front_supported
+from ..ops.pallas_effn import (
+    oss_front_fused,
+    oss_front_supported,
+    oss_tail_fused,
+    oss_tail_supported,
+)
 from ..ops.pallas_scan import (
     fused_scan_supported,
     oss_scan_fused,
@@ -138,7 +143,11 @@ class SpatialScan(nn.Module):
     K: int = 4
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, z=None):
+        """z: optional SiLU gate (B,H,W,d_inner). When given, returns the
+        GATED output `out_norm(merge(y)) * z` so the merge + norm + gate
+        epilogue can run as one Pallas pass (`ops/pallas_effn.py::
+        oss_tail_fused`); None returns the normalized-but-ungated y."""
         b, h, w, d = x.shape
         K, N, R = self.K, self.d_state, self.dt_rank
         x_proj_weight = self.param(
@@ -221,12 +230,23 @@ class SpatialScan(nn.Module):
             y_rev = run(2, True)    # direction 2 = row rev, 3 = col rev
             y_row = y_fwd[:, :, 0] + y_rev[:, :, 0]
             y_col = y_fwd[:, :, 1] + y_rev[:, :, 1]
-        y = y_row + jnp.swapaxes(
-            y_col.reshape(b, w, h, d), 1, 2
-        ).reshape(b, L, d)
-        y = y.astype(jnp.float32).reshape(b, h, w, d)
-        y = LayerNorm2d(d, use_bias=True, name="out_norm")(y)
-        return y.astype(x.dtype)
+        out_norm = LayerNorm2d(d, use_bias=True, name="out_norm")
+        y_colT = jnp.swapaxes(y_col.reshape(b, w, h, d), 1, 2)
+        if (
+            z is not None
+            and oss_tail_supported(z.shape, interpret=fused_interp)
+            and (fused_interp
+                 or (self.scan_impl in ("auto", "pallas")
+                     and jax.default_backend() == "tpu"))
+        ):
+            lw, lb = out_norm.scale_bias()
+            return oss_tail_fused(
+                y_row.reshape(b, h, w, d), y_colT, z, lw, lb,
+                eps=out_norm.eps, interpret=fused_interp,
+            )
+        y = (y_row.reshape(b, h, w, d) + y_colT).astype(jnp.float32)
+        y = out_norm(y).astype(x.dtype)
+        return y if z is None else y * z
 
 
 class ChannelScan(nn.Module):
@@ -389,19 +409,22 @@ class OSS(nn.Module):
             xs = nn.silu(xs)
 
         low_rank = d_inner < d_expand
-        if low_rank:
-            xs = Conv2d(d_inner, 1, use_bias=False, dtype=self.dtype,
-                        name="in_rank")(xs)
-        y1 = SpatialScan(
+        spatial = SpatialScan(
             d_inner, d_state, dt_rank, scan_impl=self.scan_impl,
             name="spatial",
-        )(xs)
+        )
         if low_rank:
+            # the low-rank out_rank Dense sits between the scan and the
+            # gate, so the fused tail (norm+gate one-pass) cannot apply
+            xs = Conv2d(d_inner, 1, use_bias=False, dtype=self.dtype,
+                        name="in_rank")(xs)
+            y1 = spatial(xs)
             y1 = nn.Dense(d_expand, use_bias=False,
                           kernel_init=torch_kernel_init, dtype=self.dtype,
                           name="out_rank")(y1)
-
-        y2 = y1 * z
+            y2 = y1 * z
+        else:
+            y2 = spatial(xs, z=z)
         c = ChannelScan(
             d_inner,
             version=self.channel_version,

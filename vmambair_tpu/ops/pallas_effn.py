@@ -384,6 +384,123 @@ def oss_front_supported(shape, interpret=False):
     return tile_bytes <= 48 * 1024 * 1024
 
 
+def _oss_tail_kernel(yr_ref, yc_ref, z_ref, lnw_ref, lnb_ref, o_ref,
+                     *, eps):
+    """OSS tail: (y_row + y_colT) -> LayerNorm over C -> * z, one pass.
+
+    All refs are (1, Hb, W, C) row tiles; stats in fp32 over the lane
+    axis; the gate multiply runs in the model dtype, matching the unfused
+    `out_norm(y).astype(x.dtype) * z` order exactly.
+    """
+    # sum in the scan output dtype THEN cast, exactly like the unfused
+    # `(y_row + y_colT).astype(f32)` (bf16 inputs round before the norm)
+    yf = (yr_ref[0] + yc_ref[0]).astype(jnp.float32)
+    mu = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(yf - mu), axis=-1, keepdims=True)
+    zn = (yf - mu) * jax.lax.rsqrt(var + eps) * lnw_ref[0] + lnb_ref[0]
+    o_ref[0] = zn.astype(o_ref.dtype) * z_ref[0]
+
+
+def _oss_tail_pallas(y_row, y_colT, z, ln_w, ln_b, *, eps, interpret):
+    B, H, W, C = z.shape
+    Hb = _pick_hb(H)
+    kern = functools.partial(_oss_tail_kernel, eps=eps)
+    spec = pl.BlockSpec((1, Hb, W, C), lambda b, t: (b, t, 0, 0))
+    vspec = pl.BlockSpec((1, C), lambda b, t: (0, 0))
+    nbytes = (2 * y_row.dtype.itemsize + 2 * z.dtype.itemsize)
+    return pl.pallas_call(
+        kern,
+        grid=(B, H // Hb),
+        in_specs=[spec, spec, spec, vspec, vspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), z.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * H * W * C,
+            bytes_accessed=B * H * W * C * nbytes,
+            transcendentals=B * H * W,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(y_row, y_colT, z, ln_w.reshape(1, C).astype(jnp.float32),
+      ln_b.reshape(1, C).astype(jnp.float32))
+
+
+def _oss_tail_xla(y_row, y_colT, z, ln_w, ln_b, *, eps):
+    """Unfused model path (merge + LayerNorm2d + gate), used by the
+    custom_vjp backward recompute — gradients are the unfused path's."""
+    yf = (y_row + y_colT).astype(jnp.float32)
+    mu = jnp.mean(yf, -1, keepdims=True)
+    var = jnp.mean(jnp.square(yf - mu), -1, keepdims=True)
+    zn = (yf - mu) * jax.lax.rsqrt(var + eps) * ln_w + ln_b
+    return zn.astype(z.dtype) * z
+
+
+@functools.lru_cache(maxsize=None)
+def _make_oss_tail_op(eps: float, interpret: bool):
+    @jax.custom_vjp
+    def op(y_row, y_colT, z, ln_w, ln_b):
+        return _oss_tail_pallas(y_row, y_colT, z, ln_w, ln_b,
+                                eps=eps, interpret=interpret)
+
+    def fwd(*args):
+        return op(*args), args
+
+    def bwd(resid, gy):
+        _, vjp = jax.vjp(
+            functools.partial(_oss_tail_xla, eps=eps), *resid)
+        return vjp(gy)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def oss_tail_fused(y_row, y_colT, z, ln_w, ln_b, *, eps=1e-5,
+                   interpret=False):
+    """OSS scan epilogue as one Pallas kernel (differentiable):
+    `out_norm(y_row + y_colT).astype(z.dtype) * z`.
+
+    Replaces the XLA chain merge -> LayerNorm (multi-pass: stats + apply)
+    -> gate multiply after the spatial scans (`SS2D_1.forward_corev1`
+    merge + `self.out_norm` + `y1 * z`, `MambaSISR6_arch.py:430-436,489`)
+    with a single read of each input and a single write. y_row/y_colT
+    (B,H,W,C) are the row-major scan sum and the H/W-transposed col-major
+    sum (the transpose stays in XLA — in-kernel transposes measured ~4 ms,
+    docs/PERF.md); z is the SiLU gate. Check `oss_tail_supported` first.
+    """
+    op = _make_oss_tail_op(float(eps), bool(interpret))
+    return op(y_row, y_colT, z, ln_w, ln_b)
+
+
+def oss_tail_supported(shape, interpret=False):
+    """Whether the fused OSS tail kernel handles (B,H,W,C) gates.
+
+    DEFAULT OFF (`VMAMBAIR_OSS_TAIL=1` re-enables): the v5e in-context
+    race (tools/kabl.py no_tailfuse, x4 SR tile128/b8) measured the tail
+    fusion as a +11.3 ms REGRESSION — 587.4 ms/step fused vs 576.1
+    unfused. Unfused, XLA reads the col-major scan sum through the H/W
+    transpose as a fusion input (never materialized) and fuses the merge
+    + LN-apply + gate into ~2 passes; the Pallas kernel forces y_colT to
+    materialize in HBM and pads the 48-lane levels to 128. Kept (tested,
+    interpret-covered) as measured evidence, like the front kernel."""
+    if os.environ.get("VMAMBAIR_EFFN_FUSED", "1") == "0":
+        return False
+    if os.environ.get("VMAMBAIR_OSS_TAIL", "0") != "1":
+        return False
+    if len(shape) != 4:
+        return False
+    b, h, w, c = shape
+    if w % 8 != 0 or h < 1:
+        return False
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    hb = _pick_hb(h)
+    tile_bytes = 4 * hb * w * _round_up(c, 128) * 4
+    return tile_bytes <= 48 * 1024 * 1024
+
+
 def effn_fused_supported(shape, hid, interpret=False):
     """Whether the fused kernel handles (B,H,W,C) with hidden width `hid`
     on this backend.
