@@ -319,10 +319,27 @@ def test_torch_parity_full_size(arch_name):
 # trajectories of the torch reference arch and our OSSNet must track, and
 # the first-K-step gradients must match through the converter mapping.
 
+# Two reference training recipes, matched exactly on both sides:
+#   sisr_adam     — `SRGAN/.../MambaSISR_model.py:120-147`: Adam lr 2e-4
+#                   betas (0.9, 0.99), no grad clip, x4 SR, L1 mean.
+#   derain_adamw  — `Deraining/Deraining/Options/Deraining_mamber33.yml:
+#                   76-101` + `image_restoration_model.py:166-167`: AdamW
+#                   lr 3e-4 wd 1e-4 betas (0.9, 0.999), GLOBAL-NORM grad
+#                   clip at 0.01 (always active at these grad scales, so
+#                   the clip path itself is under test), scale 1, L1 mean.
+_AB_RECIPES = {
+    "sisr_adam": dict(arch="MambaSISR6", scale=4, clip=None,
+                      opt=("adam", 2e-4, (0.9, 0.99), 0.0)),
+    "derain_adamw": dict(arch="Mamber33", scale=1, clip=0.01,
+                         opt=("adamw", 3e-4, (0.9, 0.999), 1e-4)),
+}
+
+
 def run_ab_training(iters=12, check_grads=2, lq_hw=16, batch=2, seed=7,
-                    verbose=False):
-    """Train the reference torch MambaSISR6 (tiny config, pure-torch
-    sequential scan) and the converted-init OSSNet side by side. Returns
+                    verbose=False, recipe="sisr_adam"):
+    """Train the reference torch arch (tiny config, pure-torch sequential
+    scan) and the converted-init OSSNet side by side under a matched
+    reference recipe (see _AB_RECIPES). Returns
     (losses_torch, losses_jax, grad_rel_errs)."""
     import optax
     from flax import serialization
@@ -330,14 +347,20 @@ def run_ab_training(iters=12, check_grads=2, lq_hw=16, batch=2, seed=7,
     from convert_torch_weights import convert
     from vmambair_tpu.models import build_network
 
+    rcp = _AB_RECIPES[recipe]
+    scale = rcp["scale"]
     torch_cfg = dict(dim=8, num_blocks=[1, 1, 1, 1],
-                     num_refinement_blocks=1, scale=4)
-    jax_opt = dict(type="OSSNet", dim=8, num_blocks=[1, 1, 1, 1],
-                   num_refinement_blocks=1, scale=4, scan_impl="xla")
+                     num_refinement_blocks=1)
+    jax_opt = dict(type=rcp["arch"], dim=8, num_blocks=[1, 1, 1, 1],
+                   num_refinement_blocks=1, scan_impl="xla")
+    if rcp["arch"] == "MambaSISR6":
+        torch_cfg["scale"] = scale
+        jax_opt = dict(type="OSSNet", scale=scale, **{
+            k: v for k, v in jax_opt.items() if k != "type"})
 
-    mod = _load_reference_arch("MambaSISR6")
+    mod = _load_reference_arch(rcp["arch"])
     torch.manual_seed(0)
-    net_t = mod.MambaSISR6(**torch_cfg)
+    net_t = getattr(mod, REF_ARCHS[rcp["arch"]][2])(**torch_cfg)
     state = {k: v.detach().numpy() for k, v in net_t.state_dict().items()}
 
     net_j = build_network(jax_opt)
@@ -347,8 +370,16 @@ def run_ab_training(iters=12, check_grads=2, lq_hw=16, batch=2, seed=7,
         target, {"params": convert(state)}
     )
 
-    opt_t = torch.optim.Adam(net_t.parameters(), lr=2e-4, betas=(0.9, 0.99))
-    tx = optax.adam(2e-4, b1=0.9, b2=0.99)  # same update rule as torch Adam
+    kind, lr, betas, wd = rcp["opt"]
+    if kind == "adam":
+        opt_t = torch.optim.Adam(net_t.parameters(), lr=lr, betas=betas)
+        tx = optax.adam(lr, b1=betas[0], b2=betas[1])
+    else:  # decoupled AdamW — same update rule both sides
+        opt_t = torch.optim.AdamW(net_t.parameters(), lr=lr, betas=betas,
+                                  weight_decay=wd)
+        tx = optax.adamw(lr, b1=betas[0], b2=betas[1], weight_decay=wd)
+    if rcp["clip"] is not None:
+        tx = optax.chain(optax.clip_by_global_norm(rcp["clip"]), tx)
     opt_state = tx.init(variables)
 
     def loss_fn(v, lq, gt):
@@ -365,7 +396,8 @@ def run_ab_training(iters=12, check_grads=2, lq_hw=16, batch=2, seed=7,
     losses_t, losses_j, grad_rels = [], [], []
     for i in range(iters):
         lq = rng.rand(batch, 3, lq_hw, lq_hw).astype(np.float32)
-        gt = rng.rand(batch, 3, lq_hw * 4, lq_hw * 4).astype(np.float32)
+        gt = rng.rand(batch, 3, lq_hw * scale,
+                      lq_hw * scale).astype(np.float32)
 
         opt_t.zero_grad()
         out_t = net_t(torch.from_numpy(lq))
@@ -394,6 +426,8 @@ def run_ab_training(iters=12, check_grads=2, lq_hw=16, batch=2, seed=7,
                 den = max(den, float(jnp.max(jnp.abs(b))))
             grad_rels.append(num / (den + 1e-12))
 
+        if rcp["clip"] is not None:  # after the raw-grad capture above
+            torch.nn.utils.clip_grad_norm_(net_t.parameters(), rcp["clip"])
         opt_t.step()
         losses_t.append(float(loss_t.detach()))
         losses_j.append(float(loss_j))
@@ -423,4 +457,26 @@ def test_ab_training_parity():
         )
     # both must actually be LEARNING (trajectory comparison is vacuous on
     # a flat loss)
+    assert losses_t[-1] < losses_t[0]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REF_ARCHS["Mamber33"][0]),
+    reason="reference snapshot not present",
+)
+def test_ab_training_parity_derain_adamw():
+    """Same A/B guard under the DERAINING recipe (Mamber33 arch, AdamW +
+    decoupled weight decay + global-norm grad clip 0.01 — the clip fires
+    every step at these gradient scales, so torch `clip_grad_norm_` vs
+    `optax.clip_by_global_norm` semantics are directly under test)."""
+    losses_t, losses_j, grad_rels = run_ab_training(
+        iters=12, check_grads=2, recipe="derain_adamw")
+    for g in grad_rels:
+        assert g < 2e-3, f"first-step gradient mismatch: {grad_rels}"
+    for i, (a, b) in enumerate(zip(losses_t, losses_j)):
+        rel = abs(a - b) / (abs(a) + 1e-12)
+        assert rel < 2e-3, (
+            f"loss trajectories diverge at iter {i+1}: torch {a} vs "
+            f"jax {b} (rel {rel:.2e})\n{losses_t}\n{losses_j}"
+        )
     assert losses_t[-1] < losses_t[0]

@@ -32,13 +32,16 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=300)
     p.add_argument("--check-grads", type=int, default=3)
+    p.add_argument("--recipe", default="sisr_adam",
+                   choices=["sisr_adam", "derain_adamw"])
     p.add_argument("--out", default="/tmp/ab_curves.json")
     args = p.parse_args()
 
     from test_torch_parity import run_ab_training
 
     losses_t, losses_j, grad_rels = run_ab_training(
-        iters=args.iters, check_grads=args.check_grads, verbose=True)
+        iters=args.iters, check_grads=args.check_grads, verbose=True,
+        recipe=args.recipe)
 
     rels = [abs(a - b) / (abs(a) + 1e-12)
             for a, b in zip(losses_t, losses_j)]
@@ -46,6 +49,7 @@ def main():
         json.dump({"torch": losses_t, "jax": losses_j,
                    "grad_rel_errs": grad_rels}, f)
     print(json.dumps({
+        "recipe": args.recipe,
         "iters": args.iters,
         "grad_rel_errs": [round(g, 6) for g in grad_rels],
         "loss_rel_max": round(max(rels), 6),
