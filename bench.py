@@ -533,6 +533,7 @@ def main():
                 "BENCH_DETAILS.json")
             with open(side, "w") as f:
                 json.dump(snap, f, indent=1)
+                f.write("\n")
         except Exception:  # noqa: BLE001
             pass
 
@@ -730,6 +731,7 @@ def main():
                             "BENCH_DETAILS.json")
         with open(side, "w") as f:
             json.dump(enriched, f, indent=1)
+            f.write("\n")
     except Exception:  # noqa: BLE001
         pass
     # stdout carries EXACTLY ONE JSON line (the headline, already printed

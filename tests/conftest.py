@@ -18,11 +18,18 @@ import sys
 _FLAG = "--xla_force_host_platform_device_count=8"
 
 
+_STUBS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "vmambair_tpu", "_test_stubs",
+)
+
+
 def _env_ok() -> bool:
     return (
         os.environ.get("JAX_PLATFORMS") == "cpu"
         and not os.environ.get("PALLAS_AXON_POOL_IPS")
         and _FLAG in os.environ.get("XLA_FLAGS", "")
+        and _STUBS in os.environ.get("PYTHONPATH", "").split(os.pathsep)
     )
 
 
@@ -40,6 +47,11 @@ if not _env_ok():
     # persistent compile cache: XLA CPU compiles dominate test wall-time
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    # hide zstandard so the cache uses zlib (the zstandard C extension
+    # SIGABRTs in full-suite runs; see vmambair_tpu/_test_stubs/)
+    pp = env.get("PYTHONPATH", "")
+    if _STUBS not in pp.split(os.pathsep):
+        env["PYTHONPATH"] = _STUBS + (os.pathsep + pp if pp else "")
     env["_VMAMBAIR_TEST_REEXEC"] = "1"
     os.execve(
         sys.executable,

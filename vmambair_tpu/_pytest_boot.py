@@ -22,10 +22,12 @@ _FLAG = "--xla_force_host_platform_device_count=8"
 
 
 def _env_ok() -> bool:
+    stubs = os.path.join(os.path.dirname(__file__), "_test_stubs")
     return (
         os.environ.get("JAX_PLATFORMS") == "cpu"
         and not os.environ.get("PALLAS_AXON_POOL_IPS")
         and _FLAG in os.environ.get("XLA_FLAGS", "")
+        and stubs in os.environ.get("PYTHONPATH", "").split(os.pathsep)
     )
 
 
@@ -39,6 +41,13 @@ def _clean_env() -> dict:
     env.setdefault("JAX_ENABLE_X64", "0")
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    # hide zstandard so JAX's cache uses zlib: the zstandard C extension
+    # SIGABRTs in the cache-write path late in full-suite runs (see
+    # vmambair_tpu/_test_stubs/zstandard.py)
+    stubs = os.path.join(os.path.dirname(__file__), "_test_stubs")
+    pp = env.get("PYTHONPATH", "")
+    if stubs not in pp.split(os.pathsep):
+        env["PYTHONPATH"] = stubs + (os.pathsep + pp if pp else "")
     env["_VMAMBAIR_TEST_REEXEC"] = "1"
     return env
 

@@ -22,7 +22,7 @@ reads x once and writes the residual output once:
 * the gate split is lane-aligned by construction: weight columns are
   pre-padded so x1/x2 sit at 128-lane boundaries (hid = int(2.66*dim) is
   odd for every VmambaIR width: 127/255/510/1021).
-* gelu (tanh approximation, matching `flax.linen.gelu`) gate + project_out
+* exact-erf gelu gate (torch F.gelu default, the reference's variant) + project_out
   matmul + residual add, single HBM write.
 
 Backward: `jax.custom_vjp` recomputing through the exact XLA composite the
@@ -47,6 +47,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _round_up(v, m):
     return (v + m - 1) // m * m
+
+
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7).
+
+    Mosaic lowers neither `erf` nor `erfc`, so the exact-erf GELU the
+    reference uses (torch F.gelu default) is computed from this
+    polynomial inside the kernel; the ~1e-7 deviation from XLA's erf is
+    far below the bf16 activation resolution (the VJP recomputes through
+    the XLA composite with true erf)."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    p = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - p * jnp.exp(-a * a))
+
+
+def _erf_gelu(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
 def _pick_hb(h):
@@ -92,7 +112,7 @@ def _gdfn_kernel(x_ref, lnw_ref, lnb_ref, win_ref, wdw_ref, wout_ref,
             term = y1[dy:dy + Hb, dx:dx + W] * w
             acc = term if acc is None else acc + term
 
-    g = jax.nn.gelu(acc[..., :hp], approximate=True) * acc[..., hp:]
+    g = _erf_gelu(acc[..., :hp]) * acc[..., hp:]
     g = g.astype(x_ref.dtype)
     out = jnp.dot(g.reshape(Hb * W, hp), wout_ref[...],
                   preferred_element_type=jnp.float32)
@@ -171,7 +191,7 @@ def _gdfn_xla(x, ln_w, ln_b, w_in, w_dw, w_out, *, eps):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=y.shape[-1])
     hid = w_out.shape[0]
-    g = jax.nn.gelu(y[..., :hid], approximate=True) * y[..., hid:]
+    g = jax.nn.gelu(y[..., :hid], approximate=False) * y[..., hid:]
     out = jax.lax.conv_general_dilated(
         g, w_out[None, None].astype(cdt), (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
