@@ -136,6 +136,37 @@ BLOCK_GROUPS = [
 ]
 
 
+def convert_discriminator(state: dict):
+    """Reference `UNetDiscriminatorSN` (`discriminator_arch.py:8-67`, torch
+    `spectral_norm` buffers) -> (params, batch_stats) for
+    `vmambair_tpu.models.discriminator.UNetDiscriminatorSN`.
+
+    `convN.weight_orig` maps to the raw HWIO kernel; `convN.weight_u`
+    ((O,) in torch) to flax SpectralNorm's u ((1, O)) — both frameworks'
+    power iterations run in the out-channel space (torch iterates on
+    W_mat (O, I*k*k), flax on its transpose reshaped (H*W*I, O)), so the
+    u vectors are directly transplantable and the per-forward train-mode
+    iteration v=normalize(W^T u); u=normalize(W v); sigma=u^T W v is
+    identical. torch's persisted weight_v is recomputed from u on every
+    train forward in both frameworks, so it is not carried. sigma is
+    overwritten on the first update; seeded at 1.
+    """
+    src = {k: np.asarray(v) for k, v in state.items()}
+    params = {
+        "conv0": conv_entry(src, "conv0"),
+        "conv9": conv_entry(src, "conv9"),
+    }
+    stats = {}
+    for i in range(1, 9):
+        params[f"conv{i}"] = {"kernel": to_hwio(src[f"conv{i}.weight_orig"])}
+        stats[f"SpectralNorm_{i-1}"] = {
+            f"conv{i}/kernel/u": src[f"conv{i}.weight_u"][None, :].astype(
+                np.float32),
+            f"conv{i}/kernel/sigma": np.float32(1.0),
+        }
+    return params, {"batch_stats": stats}
+
+
 def convert(state: dict) -> dict:
     src = {k: np.asarray(v) for k, v in state.items()}
     dst = {}

@@ -127,16 +127,21 @@ class SRGANModel(SRModel):
                     if l_style is not None:
                         losses["l_g_style"] = l_style
                         total += l_style
-                # D is frozen for the G step (`MambaSISRGAN_model.py:110-128`)
-                fake_pred, _ = self._apply_d(
-                    jax.lax.stop_gradient(params_d), state_d, output, False
+                # D's WEIGHTS are frozen for the G step
+                # (`MambaSISRGAN_model.py:110-128`), but torch keeps net_d
+                # in train() mode, so this forward still runs a
+                # spectral-norm power iteration — update u here too
+                # (iteration 1 of 3 per iter: G fake, D real, D fake),
+                # matching the reference's u cadence.
+                fake_pred, new_state = self._apply_d(
+                    jax.lax.stop_gradient(params_d), state_d, output, True
                 )
                 l_g_gan = self.cri_gan(fake_pred, True, is_disc=False)
                 losses["l_g_gan"] = l_g_gan
                 total += l_g_gan
-                return total, (losses, output)
+                return total, (losses, output, new_state)
 
-            (_, (losses, output)), grads = jax.value_and_grad(
+            (_, (losses, output, new_state)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
             opt_state = set_lr(opt_state, lr)
@@ -146,7 +151,7 @@ class SRGANModel(SRModel):
             params = optax.apply_updates(params, updates)
             if ema_decay > 0:
                 params_ema = ema_update(params_ema, params, ema_decay)
-            return params, params_ema, opt_state, losses, output
+            return params, params_ema, opt_state, losses, output, new_state
 
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
@@ -193,7 +198,7 @@ class SRGANModel(SRModel):
         )
         if do_g:
             (self.params, self.params_ema, self.opt_state, losses,
-             output) = self._g_step(
+             output, self.state_d) = self._g_step(
                 self.params, self.params_ema, self.opt_state,
                 self.params_d, self.state_d,
                 self.lq, self.gt, jnp.float32(lr),
