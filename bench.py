@@ -22,7 +22,7 @@ Timeout discipline (round-4, after BENCH_r03 lost its number to a driver
 timeout): the ONE headline JSON line is printed and flushed IMMEDIATELY
 after the throughput timing. Diagnostics (kernel parity, scan-ablation
 decomposition, roofline probes, train step) run afterwards under a
-wall-clock budget (`VMAMBAIR_BENCH_BUDGET_S`, default 900 s from process
+wall-clock budget (`VMAMBAIR_BENCH_BUDGET_S`, default 1600 s from process
 start); sections that would start over budget are skipped and listed in
 `detail.skipped`. Results are checkpointed to `BENCH_DETAILS.json` next to
 this file after every section; stdout carries exactly ONE JSON line total,
@@ -54,7 +54,7 @@ SCALE = 4
 WARMUP = 2
 ITERS = 17
 REPEATS = 3
-BUDGET_S = float(os.environ.get("VMAMBAIR_BENCH_BUDGET_S", "900"))
+BUDGET_S = float(os.environ.get("VMAMBAIR_BENCH_BUDGET_S", "1600"))
 
 
 def _over_budget(section, skipped):
