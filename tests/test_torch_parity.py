@@ -197,7 +197,7 @@ def _load_reference_arch(name: str = "MambaSISR6"):
 
 
 def _transport_parity(arch_name, torch_cfg, jax_net_opt, x_hw=16,
-                      tol=1e-4):
+                      tol=2e-5):
     """Random-init torch reference arch -> convert_torch_weights ->
     our network: forward outputs must match on identical inputs. Returns
     the max relative error."""
@@ -286,7 +286,17 @@ _FULL_SIZE_CASES = {
 def run_full_size(arch_name):
     """Subprocess entry: run one full-size transport-parity case."""
     torch_cfg, jax_opt = _FULL_SIZE_CASES[arch_name]
-    rel = _transport_parity(arch_name, torch_cfg, jax_opt, tol=1e-3)
+    # Tightened r5 after the exact-erf GELU fix (VERDICT r4 #3): measured
+    # floors are 8.0e-6 (MambaSISR6), 8.4e-7 (MambaRealSR11), 8.3e-6
+    # (Mamber33) — fp32 accumulation over 30-60 blocks. The old 1e-3
+    # bound silently absorbed the tanh-GELU drift (4.7e-4/activation).
+    # Activation/eps semantics audit (r5): SiLU = x*sigmoid(x) exactly on
+    # both sides; LayerNorm eps 1e-5 both (ours rsqrt-mul vs reference
+    # sqrt-div: ULP-level); GELU exact-erf both (flax approximate=False;
+    # Pallas GDFN uses an A&S-7.1.26 erf, |err| ~1e-7); bilinear
+    # interpolate (discriminator upsamples) covered to ~1e-5 by the GAN
+    # A/B losses.
+    rel = _transport_parity(arch_name, torch_cfg, jax_opt, tol=3e-5)
     print(f"{arch_name} full-size rel err {rel:.2e}")
 
 
