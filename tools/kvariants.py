@@ -1037,6 +1037,8 @@ VARIANTS = {
     "v24_mmfix_128_32": (kernel_v24, {"sub": 128, "blk": 32}),
     "v24_mmfix_128_16": (kernel_v24, {"sub": 128, "blk": 16}),
     "v25_mid_128_64": (kernel_v24, {"sub": 128, "blk": 64, "mid": True}),
+    "v25_mid_256_64": (kernel_v24, {"sub": 256, "blk": 64, "mid": True}),
+    "v25_mid_256_128": (kernel_v24, {"sub": 256, "blk": 128, "mid": True}),
     "v25_mid_128_32": (kernel_v24, {"sub": 128, "blk": 32, "mid": True}),
     "v22_dual_128_128": (kernel_v22, {"sub": 128, "blk": 128}),
     "v22_dual_128_64": (kernel_v22, {"sub": 128, "blk": 64}),
