@@ -33,9 +33,32 @@ def main():
     p.add_argument("--iters", type=int, default=300)
     p.add_argument("--check-grads", type=int, default=3)
     p.add_argument("--recipe", default="sisr_adam",
-                   choices=["sisr_adam", "derain_adamw"])
+                   choices=["sisr_adam", "derain_adamw", "gan"])
     p.add_argument("--out", default="/tmp/ab_curves.json")
     args = p.parse_args()
+
+    if args.recipe == "gan":
+        from test_torch_parity import run_ab_training_gan
+
+        logs_t, logs_j, u_rels = run_ab_training_gan(
+            iters=args.iters, verbose=True)
+        keys = sorted(logs_t[-1])
+        rels = {k: [abs(a[k] - b[k]) / (abs(a[k]) + 1e-12)
+                    for a, b in zip(logs_t, logs_j) if k in a]
+                for k in keys}
+        with open(args.out, "w") as f:
+            json.dump({"torch": logs_t, "jax": logs_j,
+                       "u_rels": u_rels}, f)
+        print(json.dumps({
+            "recipe": "gan",
+            "iters": args.iters,
+            "loss_rel_max": {k: round(max(v), 6) for k, v in rels.items()},
+            "loss_rel_mean": {k: round(sum(v) / len(v), 6)
+                              for k, v in rels.items()},
+            "u_rel_max": round(max(u_rels), 8),
+            "curves": args.out,
+        }))
+        return
 
     from test_torch_parity import run_ab_training
 
