@@ -62,17 +62,17 @@ _ERF_CHEB = (
 )
 
 
-def _erf(x):
+def _erf_clenshaw(x):
     """erf via a degree-15 Chebyshev fit of erf(x)/x, Clenshaw-evaluated
-    (max abs err 3.4e-7 in fp32).
+    (fp32 max abs err 3.4e-7; pure FMAs, no exp, no divide).
 
-    Mosaic lowers neither `erf` nor `erfc`, so the exact-erf GELU the
-    reference uses (torch F.gelu default) needs an in-kernel
-    approximation. This form is pure FMAs — no exp, no divide — and
-    measured cheaper than Abramowitz-Stegun 7.1.26 (exp + reciprocal;
-    keffn: 0.536 -> see docs/PERF.md) at equal accuracy; the ~3e-7
-    deviation from XLA's erf is far below the bf16 activation resolution
-    (the VJP recomputes through the XLA composite with true erf)."""
+    RACED AND REJECTED as the production form (round 5): isolated keffn
+    difference-timing read 0.536 -> 0.452 ms/block vs A&S, but the full
+    bench step REGRESSED reproducibly (7.18 -> 7.06/7.07 MP/s, ~4.5 ms/
+    step): the 15-step Clenshaw recurrence is one long dependency chain
+    on the gate's critical path between the two MXU matmuls, where the
+    A&S form's exp+reciprocal pipelines better. Kept as raced evidence.
+    """
     a = jnp.minimum(jnp.abs(x), 4.0)
     t = a * a * 0.125 - 1.0
     t2 = 2.0 * t
@@ -83,6 +83,23 @@ def _erf(x):
     f = _ERF_CHEB[0] + t * b1 - b2
     # at the |x| >= 4 clamp, f*a = erf(4) = 1 - 1.6e-8: no select needed
     return jnp.sign(x) * f * a
+
+
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7).
+
+    Mosaic lowers neither `erf` nor `erfc`, so the exact-erf GELU the
+    reference uses (torch F.gelu default) is computed from this
+    polynomial inside the kernel; the ~1e-7 deviation from XLA's erf is
+    far below the bf16 activation resolution (the VJP recomputes through
+    the XLA composite with true erf). A division-free Clenshaw-Chebyshev
+    alternative was raced and rejected in-context (`_erf_clenshaw`)."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    p = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - p * jnp.exp(-a * a))
 
 
 def _erf_gelu(x):
