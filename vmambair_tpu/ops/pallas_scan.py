@@ -612,7 +612,7 @@ def _build_pallas_fwd_ld(BT, L, dim, N, G, chunk, d_tile, softplus,
     return fwd
 
 
-def _pick_tiles(L, dim, G, N, budget_mb=None, stacks=4):
+def _pick_tiles(L, dim, G, N, budget_mb=None, stacks=4, chunk_x=None):
     """Choose (chunk, d_tile). States are processed in MAX_N_STACK blocks,
     so the live VMEM stacks are ~(b_full + h/temps) on (<=16, d_tile, chunk)
     fp32 plus a handful of (d_tile, chunk) tiles; keep that under ~32MB of
@@ -631,7 +631,15 @@ def _pick_tiles(L, dim, G, N, budget_mb=None, stacks=4):
     nb = min(N, 16)  # MAX_N_STACK
     import os
 
-    chunk = 1024 * int(os.environ.get("VMAMBAIR_SCAN_CHUNK_X", "1"))
+    # chunk 2048 under the matmul-dual: its working set is lighter than
+    # the HS levels' (for which 2048 lost, 14.4 vs 13.4 ms), and the
+    # measured headline gains +0.85% (7.25 vs 7.19 MP/s, reproduced).
+    # Takes effect only where the VMEM budget below allows (dg=48
+    # levels); VMAMBAIR_SCAN_CHUNK_X overrides.
+    if chunk_x is None:
+        chunk_x = int(os.environ.get(
+            "VMAMBAIR_SCAN_CHUNK_X", "2" if _dual_cfg() else "1"))
+    chunk = 1024 * chunk_x
     if budget_mb is None:
         budget_mb = int(os.environ.get("VMAMBAIR_SCAN_VMEM_MB", "32"))
     budget = budget_mb * 1024 * 1024
@@ -654,10 +662,13 @@ def _pick_tiles_bwd(L, dim, G, N):
     grid steps dominate."""
     import os
 
+    # chunk_x pinned to 1: the backward's chunk/VMEM optimum was swept
+    # separately (u-shaped; see docstring) and the forward's dual-mode
+    # x2 default does not transfer
     return _pick_tiles(
         L, dim, G, N,
         budget_mb=int(os.environ.get("VMAMBAIR_SCAN_BWD_VMEM_MB", "32")),
-        stacks=8,
+        stacks=8, chunk_x=1,
     )
 
 
